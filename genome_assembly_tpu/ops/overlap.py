@@ -1,0 +1,201 @@
+"""Batched overlap-alignment scoring.
+
+Reference semantics (aligners.py:6-82 + SURVEY.md §2.2-C1): the overlap DP is
+zero-initialized on row 0 / column 0 (free overhanging ends) and, with the
+default ``indel = -2**31`` promoted to int64 under Numba, gap moves are never
+selected. The recurrence therefore degenerates to
+
+    dp[i][j] = dp[i-1][j-1] + (match if s[i-1]==t[j-1] else mismatch)
+
+so every last-row entry is a *full-diagonal sum* of the match/mismatch matrix:
+
+    dp[n][j] = sum_{u} M[u, u + j - n],   M[i,v] = sub(s[i], t[v])
+
+The answer is the first maximum over j in 0..m (strict >), returning
+(score, end_position=argmax j).
+
+TPU-native formulation: right-align the source read inside its padded slot
+(suffix geometry becomes shift-invariant across ragged lengths) and the whole
+last row becomes a 4-channel cross-correlation of one-hot encodings — one
+grouped `lax.conv_general_dilated` per pair block, which XLA maps onto the
+MXU. Padding contributes exactly 0 via masked one-hots plus a mask channel
+(score = 11*matches - valid_cells, since match=+10 and mismatch=-1).
+
+`overlap_align_full` keeps the complete anti-diagonal DP (arbitrary penalty
+values, exact tie-break cascade diag>=up>=left) for API parity with
+non-default parameters.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.encoding import PAD
+
+
+def right_align(reads: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Shift each left-aligned padded read to the right edge of its slot.
+
+    (N, L) int8 + (N,) lengths -> (N, L) int8 with PAD on the left.
+    """
+    n, l = reads.shape
+    shift = l - lengths  # (N,)
+    u = jnp.arange(l, dtype=jnp.int32)[None, :]
+    src = u - shift[:, None]
+    gathered = jnp.take_along_axis(reads, jnp.clip(src, 0, l - 1), axis=1)
+    return jnp.where(src >= 0, gathered, PAD)
+
+
+def _masked_onehot(codes: jax.Array) -> jax.Array:
+    """(B, L) int8 -> (B, L, 4) f32; PAD rows are all-zero."""
+    return jax.nn.one_hot(codes, 4, dtype=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("match_score", "mismatch"))
+def overlap_scores(a_right: jax.Array, a_len: jax.Array, b: jax.Array,
+                   b_len: jax.Array, match_score: int = 10, mismatch: int = -1):
+    """Score a batch of read pairs under the default (no-gap) overlap DP.
+
+    Args:
+        a_right: (B, L) int8 source reads, RIGHT-aligned (PAD on the left).
+        a_len:   (B,) int32 true lengths of a.
+        b:       (B, L) int8 target reads, LEFT-aligned.
+        b_len:   (B,) int32 true lengths of b.
+
+    Returns:
+        score:   (B,) int32 — best last-row value (first max over j=0..len(b)).
+        end_pos: (B,) int32 — the argmax j (overlap end position in b).
+    """
+    B, L = a_right.shape
+    m_f, mm_f = float(match_score), float(mismatch)
+    # channels 0..3: one-hot; channel 4: validity mask
+    oh_a = _masked_onehot(a_right)                         # (B, L, 4)
+    oh_b = _masked_onehot(b)                               # (B, L, 4)
+    mask_a = (a_right != PAD).astype(jnp.float32)[..., None]
+    mask_b = (b != PAD).astype(jnp.float32)[..., None]
+    # dot over channels yields (m-mm)*match_indicator + mm*valid_cell
+    rhs = jnp.concatenate([(m_f - mm_f) * oh_a, mm_f * mask_a], axis=-1)  # (B, L, 5)
+    lhs = jnp.concatenate([oh_b, mask_b], axis=-1)                        # (B, L, 5)
+
+    # grouped correlation: out[b, j] = sum_u rhs[b, u, :] . lhs[b, u + j - L, :]
+    lhs_ncw = lhs.transpose(0, 2, 1).reshape(1, B * 5, L)  # (1, B*5, L)
+    rhs_oiw = rhs.transpose(0, 2, 1)                       # (B, 5, L)
+    out = jax.lax.conv_general_dilated(
+        lhs_ncw, rhs_oiw,
+        window_strides=(1,),
+        padding=[(L, 0)],
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        feature_group_count=B,
+        preferred_element_type=jnp.float32,
+    )                                                      # (1, B, L+1)
+    scores = jnp.rint(out[0]).astype(jnp.int32)            # (B, L+1)
+
+    j = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+    masked = jnp.where(j <= b_len[:, None], scores, jnp.int32(-(2**31) + 1))
+    end_pos = jnp.argmax(masked, axis=1).astype(jnp.int32)  # first max wins
+    score = jnp.take_along_axis(masked, end_pos[:, None], axis=1)[:, 0]
+    return score, end_pos
+
+
+@functools.partial(jax.jit, static_argnames=("match_score", "mismatch", "indel"))
+def overlap_align_full(a: jax.Array, a_len: jax.Array, b: jax.Array,
+                       b_len: jax.Array, match_score: int = 10,
+                       mismatch: int = -1, indel: int = -2):
+    """Full overlap DP (gaps allowed) via anti-diagonal wavefront scan.
+
+    Exact tie-break cascade of the reference (aligners.py:40-48):
+    diag if diag>=up and diag>=left; elif up>=left -> up; else left.
+    `indel` is clamped to -2**24 — values below that are numerically
+    indistinguishable from "never choose a gap" (dp is bounded by ±10*L)
+    and clamping keeps all arithmetic exactly representable in int32.
+
+    Args:
+        a: (B, L) int8 LEFT-aligned source reads (unlike `overlap_scores`,
+           the wavefront indexes rows directly so left alignment is natural).
+
+    Returns (score, end_pos) — (B,) int32 each.
+    """
+    B, L = a.shape
+    indel_c = max(int(indel), -(2**24))
+
+    # dp diagonals: diag_d[i] = dp[i][d - i] for i in 0..L (cells outside the
+    # valid rectangle are forced to int32-min/3 so they never win a max).
+    NEG = jnp.int32(-(2**28))
+    i_idx = jnp.arange(L + 1, dtype=jnp.int32)[None, :]    # (1, L+1)
+
+    def sub_of(d):
+        # substitution score entering cell (i, d-i): compares a[i-1], b[d-i-1]
+        ai = jnp.take_along_axis(
+            a, jnp.clip(i_idx - 1, 0, L - 1).repeat(B, axis=0), axis=1)
+        bj = jnp.take_along_axis(
+            b, jnp.clip(d - i_idx - 1, 0, L - 1).repeat(B, axis=0), axis=1)
+        return jnp.where(ai == bj, match_score, mismatch).astype(jnp.int32)
+
+    def step(carry, d):
+        dm2, dm1 = carry                                   # diagonals d-2, d-1
+        diag = jnp.roll(dm2, 1, axis=1) + sub_of(d)        # dp[i-1][d-i-1]
+        up = jnp.roll(dm1, 1, axis=1) + indel_c            # dp[i-1][d-i]
+        left = dm1 + indel_c                               # dp[i][d-i-1]
+        take_diag = (diag >= up) & (diag >= left)
+        val = jnp.where(take_diag, diag, jnp.where(up >= left, up, left))
+        # boundaries: dp[0][j] = 0 and dp[i][0] = 0
+        val = jnp.where(i_idx == 0, 0, val)
+        val = jnp.where(i_idx == d, 0, val)
+        # outside the (a_len+1, b_len+1) rectangle -> invalid
+        valid = (i_idx <= a_len[:, None]) & (d - i_idx <= b_len[:, None]) & (d - i_idx >= 0)
+        val = jnp.where(valid, val, NEG)
+        return (dm1, val), val
+
+    d0 = jnp.broadcast_to(jnp.where(i_idx == 0, 0, NEG), (B, L + 1))
+    d1 = jnp.where((i_idx <= 1) & (i_idx <= a_len[:, None]) &
+                   ((1 - i_idx) <= b_len[:, None]) & ((1 - i_idx) >= 0), 0, NEG)
+    (_, _), stack = jax.lax.scan(step, (d0, d1), jnp.arange(2, 2 * L + 1, dtype=jnp.int32))
+    # prepend d=0,1 diagonals so stack[d] = diagonal d
+    stack = jnp.concatenate([d0[None], d1[None], stack], axis=0)  # (2L+1, B, L+1)
+
+    # last row: dp[n][j] = stack[n + j][n], j = 0..m
+    j = jnp.arange(L + 1, dtype=jnp.int32)                 # (L+1,)
+    n = a_len                                              # (B,)
+    dvals = jnp.clip(n[:, None] + j[None, :], 0, 2 * L)    # (B, L+1)
+    # gather stack[d, b, n_b]
+    per_b = jnp.take_along_axis(
+        stack.transpose(1, 0, 2),                          # (B, 2L+1, L+1)
+        n[:, None, None].repeat(2 * L + 1, axis=1), axis=2)[..., 0]  # (B, 2L+1)
+    last_row = jnp.take_along_axis(per_b, dvals, axis=1)   # (B, L+1)
+    masked = jnp.where(j[None, :] <= b_len[:, None], last_row, NEG)
+    end_pos = jnp.argmax(masked, axis=1).astype(jnp.int32)
+    score = jnp.take_along_axis(masked, end_pos[:, None], axis=1)[:, 0]
+    return score, end_pos
+
+
+def overlap_scores_host(pairs_a: np.ndarray, pairs_b: np.ndarray,
+                        len_a: np.ndarray, len_b: np.ndarray,
+                        match_score: int = 10, mismatch: int = -1):
+    """Pure-numpy no-gap scorer (same math as `overlap_scores`), used as a
+    mid-level cross-check between the Python oracle and the device kernel."""
+    B, L = pairs_a.shape
+    scores = np.zeros((B,), dtype=np.int32)
+    ends = np.zeros((B,), dtype=np.int32)
+    for p in range(B):
+        n, m = int(len_a[p]), int(len_b[p])
+        s = pairs_a[p, :n]
+        t = pairs_b[p, :m]
+        best, bj = -np.inf, 0
+        for j in range(m + 1):
+            d = min(n, j)
+            if d == 0:
+                v = 0
+            else:
+                seg_s = s[n - d:]
+                seg_t = t[j - d:j]
+                eq = seg_s == seg_t
+                v = int(match_score * eq.sum() + mismatch * (~eq).sum())
+            if v > best:
+                best, bj = v, j
+        scores[p] = best
+        ends[p] = bj
+    return scores, ends

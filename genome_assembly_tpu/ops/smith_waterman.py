@@ -1,0 +1,159 @@
+"""Batched Smith-Waterman local alignment (contig/read -> reference genome).
+
+Reference semantics (aligners.py:85-167): dp clamped at 0, tie-break cascade
+diag>=up>=left with each candidate additionally required >= 0, global best
+tracked with strict > in row-major order (first maximum wins), traceback from
+the best cell until score 0 / matrix edge / code 0.
+
+TPU-native design: instead of an anti-diagonal wavefront (which would need
+n+m sequential steps), we scan over *query rows* only (n steps). The intra-row
+"left" dependency dp[i][j] = max(..., dp[i][j-1] + indel) is a max-plus prefix
+scan, solved in closed form with a cumulative max:
+
+    dp[i][j] = cummax_j( c0[j] - indel*j ) + indel*j,
+    c0[j]    = max(diag[j], up[j], 0)
+
+so each row is O(m) vector work (one cummax) and the whole batch is a
+`lax.scan` of n steps over (B, m+1) lanes. Traceback codes are emitted
+per-row with the exact reference cascade evaluated *after* the row values are
+known (left uses the final dp of the previous column), with code 0 stored
+wherever dp == 0 so the host traceback reproduces the reference's
+"while dp > 0" stop condition exactly.
+
+Best-cell selection: row scan order == the reference's row-major outer loop,
+and jnp.argmax picks the first (lowest-j) maximum within a row, so strict ">"
+updates across rows reproduce first-max-in-row-major-order bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("match_score", "mismatch", "indel"))
+def local_align_batch(queries: jax.Array, q_len: jax.Array, refs: jax.Array,
+                      r_len: jax.Array, match_score: int = 10,
+                      mismatch: int = -1, indel: int = -1):
+    """Batched local alignment.
+
+    Args:
+        queries: (B, n_pad) int8, LEFT-aligned.
+        q_len:   (B,) int32.
+        refs:    (B, m_pad) int8, LEFT-aligned (per-item reference windows —
+                 the full genome broadcast, or the tail window of
+                 aligners.py:186-195).
+        r_len:   (B,) int32.
+
+    Returns:
+        best:   (B,) int32 best score (0 if no positive cell).
+        best_i: (B,) int32 query end row (1-based; 0 if none).
+        best_j: (B,) int32 reference end column = end position.
+        codes:  (n_pad, B, m_pad+1) uint8 traceback codes, codes[i-1, b, j]
+                is the code of cell (i, j); 0 encodes "stop" (dp == 0).
+    """
+    B, n_pad = queries.shape
+    m_pad = refs.shape[1]
+    jcol = jnp.arange(m_pad + 1, dtype=jnp.int32)[None, :]      # (1, m+1)
+    neg_indel = jnp.int32(-indel)
+
+    valid_j = (jcol >= 1) & (jcol <= r_len[:, None])             # (B, m+1)
+    # reference chars per column j (j>=1 uses refs[:, j-1])
+    ref_chars = jnp.concatenate(
+        [jnp.full((B, 1), 127, dtype=refs.dtype), refs], axis=1)  # (B, m+1)
+
+    def step(carry, i):
+        prev, best, bi, bj = carry                               # prev: (B, m+1) int32
+        qc = jax.lax.dynamic_slice_in_dim(queries, i - 1, 1, axis=1)  # (B, 1)
+        sub = jnp.where(ref_chars == qc, match_score, mismatch).astype(jnp.int32)
+        diag = jnp.roll(prev, 1, axis=1) + sub                   # prev[j-1] + sub
+        diag = jnp.where(jcol == 0, jnp.int32(-(2**28)), diag)
+        up = prev + indel
+        c0 = jnp.maximum(jnp.maximum(diag, up), 0)
+        c0 = jnp.where(valid_j, c0, 0)                           # outside ref -> 0
+        # max-plus prefix scan for the left chain
+        key = c0 + neg_indel * jcol
+        run = jax.lax.cummax(key, axis=1)
+        row = run - neg_indel * jcol                             # dp[i][j]
+        row = jnp.where(jcol == 0, 0, row)
+        left = jnp.roll(row, 1, axis=1) + indel
+        left = jnp.where(jcol == 0, jnp.int32(-(2**28)), left)
+        # exact reference cascade (aligners.py:122-132)
+        code = jnp.where(
+            (diag >= up) & (diag >= left) & (diag >= 0), jnp.uint8(1),
+            jnp.where((up >= left) & (up >= 0), jnp.uint8(2),
+                      jnp.where(left >= 0, jnp.uint8(3), jnp.uint8(0))))
+        code = jnp.where(row > 0, code, jnp.uint8(0))
+        code = jnp.where(valid_j, code, jnp.uint8(0))
+        # best-cell tracking (row-major first strict max)
+        row_masked = jnp.where(valid_j, row, -1)
+        r_arg = jnp.argmax(row_masked, axis=1).astype(jnp.int32)
+        r_max = jnp.take_along_axis(row_masked, r_arg[:, None], axis=1)[:, 0]
+        improve = (r_max > best) & (i <= q_len)
+        best = jnp.where(improve, r_max, best)
+        bi = jnp.where(improve, i, bi)
+        bj = jnp.where(improve, r_arg, bj)
+        return (row, best, bi, bj), code
+
+    init = (jnp.zeros((B, m_pad + 1), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32))
+    (_, best, bi, bj), codes = jax.lax.scan(
+        step, init, jnp.arange(1, n_pad + 1, dtype=jnp.int32))
+    return best, bi, bj, codes
+
+
+def traceback_host(codes: np.ndarray, best_i: int, best_j: int,
+                   query: str, reference: str):
+    """Rebuild the aligned strings from device traceback codes.
+
+    codes: (n_pad, m_pad+1) uint8 for one item (codes[i-1, j] = cell (i,j)).
+    Returns (aligned_ref, aligned_query, start_pos) — reference
+    aligners.py:139-161 semantics (code 0 stops, start = final j).
+    """
+    i, j = int(best_i), int(best_j)
+    aq: list[str] = []
+    ar: list[str] = []
+    while i > 0 and j > 0:
+        code = int(codes[i - 1, j])
+        if code == 1:
+            aq.append(query[i - 1])
+            ar.append(reference[j - 1])
+            i -= 1
+            j -= 1
+        elif code == 2:
+            aq.append(query[i - 1])
+            ar.append("-")
+            i -= 1
+        elif code == 3:
+            aq.append("-")
+            ar.append(reference[j - 1])
+            j -= 1
+        else:
+            break
+    return "".join(reversed(ar)), "".join(reversed(aq)), j
+
+
+def local_align_one(query: str, reference: str, match_score: int = 10,
+                    mismatch: int = -1, indel: int = -1):
+    """Single-pair convenience wrapper (device DP + host traceback).
+
+    Returns (aligned_ref, aligned_query, score, start, end) like the oracle.
+    """
+    from ..core.encoding import encode
+
+    n, m = len(query), len(reference)
+    if n == 0 or m == 0:
+        return "", "", 0, 0, 0
+    q = jnp.asarray(encode(query))[None, :]
+    r = jnp.asarray(encode(reference))[None, :]
+    best, bi, bj, codes = local_align_batch(
+        q, jnp.array([n], jnp.int32), r, jnp.array([m], jnp.int32),
+        match_score=match_score, mismatch=mismatch, indel=indel)
+    codes_np = np.asarray(codes)[:, 0, :]
+    ar, aq, start = traceback_host(codes_np, int(bi[0]), int(bj[0]), query, reference)
+    return ar, aq, int(best[0]), start, int(bj[0])

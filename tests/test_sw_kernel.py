@@ -1,0 +1,92 @@
+"""Differential tests: batched Smith-Waterman device kernel vs oracle,
+including aligned-string traceback parity (required for the mismatch-column
+scan semantics of performanceMeasures.py:37-50)."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from genome_assembly_tpu.core.encoding import encode_batch
+from genome_assembly_tpu.ops.oracle import local_align_oracle
+from genome_assembly_tpu.ops.smith_waterman import (
+    local_align_batch,
+    local_align_one,
+    traceback_host,
+)
+
+
+def random_dna(r, length):
+    return "".join(r.choice("ACGT") for _ in range(length))
+
+
+def _cases(r):
+    cases = []
+    # perfect substring
+    for _ in range(8):
+        ref = random_dna(r, r.randint(30, 80))
+        i = r.randrange(len(ref) - 10)
+        j = r.randint(i + 5, min(len(ref), i + 30))
+        cases.append((ref[i:j], ref))
+    # mutated substring (forces mismatches, occasional gaps)
+    for _ in range(8):
+        ref = random_dna(r, r.randint(40, 90))
+        i = r.randrange(len(ref) - 20)
+        q = list(ref[i:i + 20])
+        for _ in range(r.randint(1, 4)):
+            t = r.randrange(len(q))
+            op = r.random()
+            if op < 0.5:
+                q[t] = r.choice("ACGT".replace(q[t], ""))
+            elif op < 0.75:
+                q.insert(t, r.choice("ACGT"))
+            else:
+                q.pop(t)
+        cases.append(("".join(q), ref))
+    # unrelated
+    for _ in range(5):
+        cases.append((random_dna(r, r.randint(5, 25)), random_dna(r, r.randint(30, 60))))
+    # repeats (tie-break stress)
+    for _ in range(5):
+        pat = random_dna(r, r.randint(2, 4))
+        cases.append((pat * r.randint(2, 5), pat * r.randint(4, 10)))
+    cases += [("A", "A"), ("A", "T"), ("ACGT", "TGCA")]
+    return cases
+
+
+def test_sw_batch_vs_oracle():
+    r = random.Random(21)
+    cases = _cases(r)
+    n_pad = max(len(q) for q, _ in cases)
+    m_pad = max(len(g) for _, g in cases)
+    q_mat, q_len = encode_batch([q for q, _ in cases], width=n_pad)
+    r_mat, r_len = encode_batch([g for _, g in cases], width=m_pad)
+    best, bi, bj, codes = local_align_batch(
+        jnp.asarray(q_mat), jnp.asarray(q_len),
+        jnp.asarray(r_mat), jnp.asarray(r_len))
+    best, bi, bj = np.asarray(best), np.asarray(bi), np.asarray(bj)
+    codes = np.asarray(codes)
+    for idx, (q, g) in enumerate(cases):
+        o_ar, o_aq, o_score, o_start, o_end = local_align_oracle(q, g)
+        assert best[idx] == o_score, (idx, q, g, best[idx], o_score)
+        assert bj[idx] == o_end, (idx, q, g)
+        ar, aq, start = traceback_host(codes[:, idx, :], bi[idx], bj[idx], q, g)
+        assert ar == o_ar, (idx, q, g, ar, o_ar)
+        assert aq == o_aq, (idx, q, g)
+        assert start == o_start, (idx, q, g)
+
+
+def test_sw_single_wrapper():
+    r = random.Random(33)
+    for _ in range(10):
+        g = random_dna(r, 60)
+        i = r.randrange(40)
+        q = g[i:i + 15]
+        ar, aq, score, start, end = local_align_one(q, g)
+        o_ar, o_aq, o_score, o_start, o_end = local_align_oracle(q, g)
+        assert (ar, aq, score, start, end) == (o_ar, o_aq, o_score, o_start, o_end)
+
+
+def test_sw_empty_inputs():
+    assert local_align_one("", "ACGT") == ("", "", 0, 0, 0)
+    assert local_align_one("ACGT", "") == ("", "", 0, 0, 0)
