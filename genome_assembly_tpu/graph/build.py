@@ -1,0 +1,197 @@
+"""Overlap-graph construction.
+
+Reference semantics (overlapGraphs.py:5-61):
+- duplicate reads collapse to (unique read, count) in first-occurrence order;
+  every copy becomes its own node ("read_0", "read_1", ... in the reference —
+  here node ids are dense ints: node(u, c) = offset[u] + c);
+- a k-mer prefix index maps each unique read's first k chars (whole read if
+  shorter) to candidates; each read's last k chars look up its successor
+  candidates; k = 0 disables filtering (all ordered unique pairs);
+- identical reads never get edges; every copy pair of two distinct reads gets
+  the same (weight, end_position) edge — one alignment per unique pair,
+  fanned out to copies;
+- NO score threshold: even zero/negative-score candidate edges are added.
+
+Edge insertion order is preserved exactly (it determines NetworkX adjacency
+order, hence cycle-removal and topological order, hence the contigs) — the
+candidate enumeration runs on host in reference order while the actual
+scoring is batched onto the device kernel in chunks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.encoding import encode_batch
+
+
+@dataclass
+class OverlapGraph:
+    """Edge-list overlap graph over read-copy nodes.
+
+    Nodes are dense ints; node (unique u, copy c) has id offset[u] + c.
+    `adj[v]` lists edge indices out of v in insertion order; `alive` supports
+    edge deletion without disturbing order.
+    """
+
+    unique_reads: list[str]
+    counts: np.ndarray            # (U,) int32 copies per unique read
+    offsets: np.ndarray           # (U+1,) int64 node-id offsets
+    src: np.ndarray               # (E,) int32 node ids
+    dst: np.ndarray               # (E,) int32
+    weight: np.ndarray            # (E,) int32
+    end_pos: np.ndarray           # (E,) int32
+    adj: list[list[int]] = field(default_factory=list)
+    alive: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        if self.alive is None:
+            self.alive = np.ones(len(self.src), dtype=bool)
+        if not self.adj:
+            self.adj = [[] for _ in range(self.num_nodes)]
+            for e in range(len(self.src)):
+                self.adj[self.src[e]].append(e)
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.offsets[-1])
+
+    @property
+    def num_unique(self) -> int:
+        return len(self.unique_reads)
+
+    def base_of(self, node: int) -> int:
+        """unique-read index of a node id."""
+        return int(np.searchsorted(self.offsets, node, side="right") - 1)
+
+    def out_edges(self, node: int):
+        """Alive out-edge indices in insertion order."""
+        return [e for e in self.adj[node] if self.alive[e]]
+
+    def remove_edge(self, e: int) -> None:
+        self.alive[e] = False
+
+    def base_array(self) -> np.ndarray:
+        """(num_nodes,) unique-read index per node id."""
+        out = np.empty(self.num_nodes, dtype=np.int32)
+        for u in range(self.num_unique):
+            out[self.offsets[u]:self.offsets[u + 1]] = u
+        return out
+
+
+def dedup_reads(reads: list[str]):
+    """First-occurrence-ordered (unique_reads, counts) — overlapGraphs.py:18-20."""
+    counts: dict[str, int] = {}
+    for r in reads:
+        counts[r] = counts.get(r, 0) + 1
+    unique = list(counts.keys())
+    return unique, np.array([counts[r] for r in unique], dtype=np.int32)
+
+
+def candidate_pairs(unique_reads: list[str], k: int) -> list[tuple[int, int]]:
+    """Ordered candidate (source, target) unique-index pairs, in the exact
+    enumeration order of the reference builder (overlapGraphs.py:30-53)."""
+    assert k >= 0, "k-mer length must be non-negative"
+    u_count = len(unique_reads)
+    pairs: list[tuple[int, int]] = []
+    if k > 0:
+        prefix_index: dict[str, list[int]] = {}
+        for u, read in enumerate(unique_reads):
+            prefix = read[:k] if len(read) >= k else read
+            prefix_index.setdefault(prefix, []).append(u)
+        for ua, read_a in enumerate(unique_reads):
+            suffix = read_a[-k:] if len(read_a) >= k else read_a
+            for ub in prefix_index.get(suffix, []):
+                if ua != ub:
+                    pairs.append((ua, ub))
+    else:
+        for ua in range(u_count):
+            for ub in range(u_count):
+                if ua != ub:
+                    pairs.append((ua, ub))
+    return pairs
+
+
+def score_pairs(unique_reads: list[str], pairs: list[tuple[int, int]],
+                chunk: int = 16384, device: bool = True):
+    """Score ordered unique-read pairs with the overlap kernel.
+
+    Returns (scores, end_positions) int32 arrays aligned with `pairs`.
+    """
+    if not pairs:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    width = max(len(r) for r in unique_reads)
+    if device:
+        import jax.numpy as jnp
+
+        from ..ops.overlap import overlap_scores
+
+        left, lens = encode_batch(unique_reads, width=width, align="left")
+        right, _ = encode_batch(unique_reads, width=width, align="right")
+        ia = np.array([p[0] for p in pairs], dtype=np.int32)
+        ib = np.array([p[1] for p in pairs], dtype=np.int32)
+        scores = np.empty(len(pairs), np.int32)
+        ends = np.empty(len(pairs), np.int32)
+        for lo in range(0, len(pairs), chunk):
+            hi = min(lo + chunk, len(pairs))
+            n = hi - lo
+            pad = chunk - n if len(pairs) > chunk else 0
+            sel_a = np.concatenate([ia[lo:hi], np.zeros(pad, np.int32)])
+            sel_b = np.concatenate([ib[lo:hi], np.zeros(pad, np.int32)])
+            s, e = overlap_scores(
+                jnp.asarray(right[sel_a]), jnp.asarray(lens[sel_a]),
+                jnp.asarray(left[sel_b]), jnp.asarray(lens[sel_b]))
+            scores[lo:hi] = np.asarray(s)[:n]
+            ends[lo:hi] = np.asarray(e)[:n]
+        return scores, ends
+    else:
+        from ..ops.oracle import overlap_align_oracle
+
+        scores = np.empty(len(pairs), np.int32)
+        ends = np.empty(len(pairs), np.int32)
+        for i, (ua, ub) in enumerate(pairs):
+            _, _, s, e = overlap_align_oracle(unique_reads[ua], unique_reads[ub])
+            scores[i], ends[i] = s, e
+        return scores, ends
+
+
+def build_overlap_graph(reads: list[str], k: int = 5,
+                        device: bool = True) -> OverlapGraph:
+    """Full builder: dedup -> candidates -> batched scoring -> edge fanout.
+
+    Edge order matches the reference's add_edge order exactly
+    (overlapGraphs.py:43-60): pair enumeration order, then copy_a-major /
+    copy_b-minor within each pair.
+    """
+    unique, counts = dedup_reads(reads)
+    offsets = np.zeros(len(unique) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    pairs = candidate_pairs(unique, k)
+    scores, ends = score_pairs(unique, pairs, device=device)
+
+    src_l: list[int] = []
+    dst_l: list[int] = []
+    w_l: list[int] = []
+    e_l: list[int] = []
+    for idx, (ua, ub) in enumerate(pairs):
+        w, ep = int(scores[idx]), int(ends[idx])
+        base_a, base_b = int(offsets[ua]), int(offsets[ub])
+        for ca in range(int(counts[ua])):
+            for cb in range(int(counts[ub])):
+                src_l.append(base_a + ca)
+                dst_l.append(base_b + cb)
+                w_l.append(w)
+                e_l.append(ep)
+
+    return OverlapGraph(
+        unique_reads=unique,
+        counts=counts,
+        offsets=offsets,
+        src=np.array(src_l, dtype=np.int32),
+        dst=np.array(dst_l, dtype=np.int32),
+        weight=np.array(w_l, dtype=np.int32),
+        end_pos=np.array(e_l, dtype=np.int32),
+    )

@@ -1,0 +1,43 @@
+"""Primary assembly pipeline: k-mer-filtered overlap graph -> greedy cycle
+removal -> topological layout -> contig merge.
+
+Equivalent of the reference's `assemble_contigs_using_overlap_graphs`
+(overlapGraphs.py:151-193), returning the identical contig list (content and
+order) for identical input reads.
+"""
+
+from __future__ import annotations
+
+from ..graph.build import build_overlap_graph
+from ..graph.cycles import remove_cycles
+from ..graph.layout import walk_contigs
+from ..graph.topo import topological_order
+
+
+def assemble_contigs_using_overlap_graphs(reads: list[str], k: int = 5,
+                                          params: dict | None = None,
+                                          device: bool = True,
+                                          use_native: bool = True,
+                                          verbose: bool = False) -> list[str]:
+    """Assemble contigs from reads.
+
+    Args:
+        reads: DNA read strings.
+        k: k-mer prefilter length (0 disables filtering).
+        params: optional run metadata for progress logging (reference
+            signature parity, overlapGraphs.py:151).
+        device: score candidate pairs on the accelerator.
+        use_native: use the C++ graph engine when available.
+    """
+    def log(msg):
+        if verbose:
+            print(msg)
+
+    log(f"Constructing overlap graph (k={k}, reads={len(reads)})...")
+    g = build_overlap_graph(reads, k=k, device=device)
+    log(f"Removing cycles ({len(g.src)} edges)...")
+    remove_cycles(g, use_native=use_native)
+    log("Sorting graph topologically...")
+    topo_nodes = topological_order(g)
+    log("Creating contigs...")
+    return walk_contigs(g, topo_nodes)
