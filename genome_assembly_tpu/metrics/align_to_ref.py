@@ -1,0 +1,123 @@
+"""Contig -> reference-genome alignment for the metrics pass.
+
+Reference semantics (aligners.py:170-202): a contig is locally aligned to the
+genome; a contig *shorter than the read length* is aligned only against the
+LAST len(contig) characters of the genome (short reads only arise from
+truncation at the genome's end), with start/end offset back by
+genome_len - len(contig). This tail-window quirk materially skews the metrics
+for short contigs and is replicated exactly.
+
+TPU-native design: contigs are deduplicated (first-occurrence order — the
+reference keys its details dict by contig string, performanceMeasures.py:223),
+grouped into (tail-window | full-genome) classes, bucketed by padded length,
+and aligned by the batched Smith-Waterman kernel; tracebacks run on host from
+device traceback codes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.encoding import encode_batch
+from ..ops.smith_waterman import local_align_batch, traceback_host
+
+_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 1023) // 1024) * 1024
+
+
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def align_read_or_contig_to_reference(read_or_contig: str, reference_genome: str,
+                                      read_length: int, match_score: int = 10,
+                                      mismatch: int = -1, indel: int = -1):
+    """Single-contig API (reference aligners.py:170-202 signature parity).
+
+    Returns (to_print, aligned_ref, aligned_query, score, start, end).
+    """
+    details = align_contigs_to_reference([read_or_contig], reference_genome,
+                                         read_length, match_score=match_score,
+                                         mismatch=mismatch, indel=indel)
+    d = details[read_or_contig]
+    return (d["Print"], d["Alignment_reference"], d["Alignment_query"],
+            d["Alignment Score"], d["Start Position"], d["End Position"])
+
+
+def align_contigs_to_reference(contigs: list[str], reference_genome: str,
+                               read_length: int, match_score: int = 10,
+                               mismatch: int = -1, indel: int = -1,
+                               max_batch: int = 128) -> dict:
+    """Align contigs to the genome; returns {contig: details} in
+    first-occurrence order (duplicates collapse, dict-key semantics of
+    performanceMeasures.py:219-230)."""
+    import jax.numpy as jnp
+
+    genome_len = len(reference_genome)
+    # unique contigs, first occurrence order
+    seen: dict[str, None] = {}
+    for c in contigs:
+        seen.setdefault(c)
+    unique = [c for c in seen if len(c) > 0]
+    empties = [c for c in seen if len(c) == 0]
+
+    # group: (tail-window?, n_bucket, m_bucket) -> [(contig, window, offset)]
+    groups: dict[tuple, list[tuple[str, str, int]]] = {}
+    for c in unique:
+        n = len(c)
+        if n < read_length:
+            window = reference_genome[-n:]
+            offset = genome_len - n
+        else:
+            window = reference_genome
+            offset = 0
+        key = (_bucket(n), _pad128(len(window)) if offset == 0 else _bucket(len(window)))
+        groups.setdefault(key, []).append((c, window, offset))
+
+    details: dict[str, dict] = {}
+    for (n_pad, m_pad), items in groups.items():
+        for lo in range(0, len(items), max_batch):
+            batch = items[lo:lo + max_batch]
+            qs = [c for c, _, _ in batch]
+            ws = [w for _, w, _ in batch]
+            q_mat, q_len = encode_batch(qs, width=n_pad)
+            r_mat, r_len = encode_batch(ws, width=m_pad)
+            best, bi, bj, codes = local_align_batch(
+                jnp.asarray(q_mat), jnp.asarray(q_len),
+                jnp.asarray(r_mat), jnp.asarray(r_len),
+                match_score=match_score, mismatch=mismatch, indel=indel)
+            best = np.asarray(best)
+            bi = np.asarray(bi)
+            bj = np.asarray(bj)
+            codes = np.asarray(codes)
+            for idx, (c, w, offset) in enumerate(batch):
+                ar, aq, start = traceback_host(codes[:, idx, :], bi[idx],
+                                               bj[idx], c, w)
+                end = int(bj[idx])
+                to_print = (f"\nTarget:   {ar}\n          {'|' * len(ar)}"
+                            f"\nQuery:    {aq}")
+                details[c] = {
+                    "Print": to_print,
+                    "Alignment_reference": ar,
+                    "Alignment_query": aq,
+                    "Alignment Score": int(best[idx]),
+                    "Start Position": start + offset,
+                    "End Position": end + offset,
+                }
+    for c in empties:
+        details[c] = {
+            "Print": "\nTarget:   \n          \nQuery:    ",
+            "Alignment_reference": "",
+            "Alignment_query": "",
+            "Alignment Score": 0,
+            "Start Position": genome_len,
+            "End Position": genome_len,
+        }
+    # restore first-occurrence order
+    return {c: details[c] for c in seen}

@@ -1,0 +1,144 @@
+"""Assembly quality metrics.
+
+Reference semantics (performanceMeasures.py):
+- per aligned contig, coverage[start:end] += 1 (performanceMeasures.py:34);
+- mismatch columns: for i in range(end-start), a column is a mismatch when
+  the query char is '-' or differs from the ref char; counted into
+  mismatches[start+i] (performanceMeasures.py:37-50) — note this scans the
+  first (end-start) characters of the aligned strings, including '-'
+  columns, exactly as the reference does;
+- coverage_rate = nonzero(coverage)/G;
+  mismatch_rate_aligned = nonzero(mismatch)/covered (0.0 if none covered);
+  mismatch_rate_genome = (nonzero(mismatch)+uncovered)/G
+  (performanceMeasures.py:61-69);
+- N50 = classic mass-median over descending contig lengths
+  (performanceMeasures.py:124-143);
+- the measures dict uses the exact metric names of consts.py:8.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.config import METRIC_NAMES
+from .align_to_ref import align_contigs_to_reference
+
+
+def calculate_n50(contigs: list[str]) -> int:
+    lengths = sorted((len(c) for c in contigs), reverse=True)
+    total = sum(lengths)
+    cum = 0
+    for length in lengths:
+        cum += length
+        if cum >= total / 2:
+            return length
+    return 0
+
+
+def calculate_genome_coverage_and_mismatch_rate(
+        contigs_alignment_details: dict, reference_genome: str,
+        expected_coverage: float, experiment_name: str, num_iteration: int,
+        path: str = "plots", plot_hooks=None):
+    """Returns (coverage_rate, mismatch_rate_aligned, mismatch_rate_genome)."""
+    genome_length = len(reference_genome)
+    coverage = np.zeros(genome_length)
+    mismatches = np.zeros(genome_length)
+
+    for contig, d in contigs_alignment_details.items():
+        start, end = d["Start Position"], d["End Position"]
+        if start == -1 or end == -1:
+            continue
+        coverage[start:end] += 1
+        ar = d["Alignment_reference"]
+        aq = d["Alignment_query"]
+        span = end - start
+        for i in range(span):
+            if aq[i] == "-" or aq[i] != ar[i]:
+                mismatches[start + i] += 1
+
+    if plot_hooks is not None:
+        # reference gating (performanceMeasures.py:53-58): skip flat coverage
+        # on iterations beyond the first
+        if not (num_iteration != 1 and np.all(coverage == coverage[0])):
+            plot_hooks["coverage"](coverage, genome_length, experiment_name,
+                                   num_iteration, path)
+            plot_hooks["depth"](coverage, expected_coverage, genome_length,
+                                experiment_name, num_iteration, path)
+
+    covered = int(np.count_nonzero(coverage))
+    uncovered = genome_length - covered
+    coverage_rate = covered / genome_length
+    n_mismatch = int(np.count_nonzero(mismatches))
+    mismatch_rate_aligned = n_mismatch / covered if covered > 0 else 0.0
+    mismatch_rate_genome = (n_mismatch + uncovered) / genome_length
+    return coverage_rate, mismatch_rate_aligned, mismatch_rate_genome
+
+
+def calculate_mismatch_rate_aligned_regions(contigs_alignment_details: dict,
+                                            reference_genome: str) -> float:
+    """Dead-code metric variant kept for capability parity
+    (performanceMeasures.py:76-121, never called in the live path)."""
+    genome_length = len(reference_genome)
+    total_mm = 0
+    total_aligned = 0
+    for contig, d in contigs_alignment_details.items():
+        start, end = d["Start Position"], d["End Position"]
+        if start == -1 or end == -1:
+            continue
+        total_aligned += end - start
+        c_seq = contig[max(0, -start): min(len(contig), len(contig) + (genome_length - end))]
+        r_seq = reference_genome[max(0, start): min(genome_length, end)]
+        m = min(len(c_seq), len(r_seq))
+        if m > 0:
+            total_mm += sum(a != b for a, b in zip(c_seq[:m], r_seq[:m]))
+    if total_aligned == 0:
+        return 0.0
+    rate = (total_mm / total_aligned) * (total_aligned / genome_length)
+    return min(1.0, max(0.0, rate))
+
+
+def calculate_mismatch_rate_full_genome(contigs_alignment_details: dict,
+                                        reference_genome: str,
+                                        coverage: np.ndarray) -> float:
+    """Dead-code metric variant (performanceMeasures.py:146-187)."""
+    genome_length = len(reference_genome)
+    total_mm = 0
+    for contig, d in contigs_alignment_details.items():
+        start, end = d["Start Position"], d["End Position"]
+        if start == -1 or end == -1:
+            continue
+        c_seq = contig[max(0, -start): min(len(contig), len(contig) + (genome_length - end))]
+        r_seq = reference_genome[max(0, start): min(genome_length, end)]
+        m = min(len(c_seq), len(r_seq))
+        if m > 0:
+            total_mm += sum(a != b for a, b in zip(c_seq[:m], r_seq[:m]))
+    total_mm += int(np.count_nonzero(coverage == 0))
+    return min(1.0, total_mm / genome_length)
+
+
+def calculate_measures(contigs: list[str], reads: list[str], num_reads: int,
+                       reads_length: int, error_prob: float, k: int,
+                       ref_genome: str, experiment_name: str,
+                       num_iteration: int, path: str = "plots",
+                       plot_hooks=None, verbose: bool = False):
+    """Returns (measures, contigs_alignment_details) — reference
+    performanceMeasures.py:190-252 signature and output parity."""
+    if verbose:
+        print(f"Calculating performance measures for {experiment_name} "
+              f"(Iteration {num_iteration})")
+    expected_coverage = num_reads * reads_length / len(ref_genome)
+    details = align_contigs_to_reference(contigs, ref_genome, reads_length)
+
+    coverage_rate, mm_aligned, mm_genome = (
+        calculate_genome_coverage_and_mismatch_rate(
+            details, ref_genome, expected_coverage, experiment_name,
+            num_iteration, path, plot_hooks=plot_hooks))
+
+    measures = {
+        METRIC_NAMES[0]: len(contigs),
+        METRIC_NAMES[1]: coverage_rate,
+        METRIC_NAMES[2]: calculate_n50(contigs),
+        METRIC_NAMES[3]: mm_aligned,
+        METRIC_NAMES[4]: mm_genome,
+    }
+    return measures, details

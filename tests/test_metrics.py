@@ -1,0 +1,140 @@
+"""Metrics parity tests against a loop-level reference replica built on the
+oracle aligner (performanceMeasures.py semantics)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from genome_assembly_tpu.metrics.align_to_ref import (
+    align_contigs_to_reference,
+    align_read_or_contig_to_reference,
+)
+from genome_assembly_tpu.metrics.measures import (
+    calculate_genome_coverage_and_mismatch_rate,
+    calculate_measures,
+    calculate_n50,
+)
+from genome_assembly_tpu.ops.oracle import local_align_oracle
+
+
+def random_dna(r, length):
+    return "".join(r.choice("ACGT") for _ in range(length))
+
+
+# --- reference replicas ---
+
+def _ref_align(contig, genome, read_length):
+    """aligners.py:170-202 semantics on the oracle kernel."""
+    n = len(contig)
+    if n < read_length:
+        ar, aq, score, start, end = local_align_oracle(contig, genome[-n:] if n else genome)
+        off = len(genome) - n
+        return ar, aq, score, start + off, end + off
+    ar, aq, score, start, end = local_align_oracle(contig, genome)
+    return ar, aq, score, start, end
+
+
+def _ref_measures(contigs, genome, read_length):
+    details = {}
+    for c in contigs:
+        ar, aq, score, start, end = _ref_align(c, genome, read_length)
+        details[c] = (ar, aq, score, start, end)
+    G = len(genome)
+    coverage = np.zeros(G)
+    mm = np.zeros(G)
+    for c, (ar, aq, score, start, end) in details.items():
+        coverage[start:end] += 1
+        for i in range(end - start):
+            if aq[i] == "-" or aq[i] != ar[i]:
+                mm[start + i] += 1
+    covered = np.count_nonzero(coverage)
+    uncovered = G - covered
+    nmm = np.count_nonzero(mm)
+    return {
+        "Number of Contigs": len(contigs),
+        "Genome Coverage": covered / G,
+        "N50": _ref_n50(contigs),
+        "Mismatch Rate Aligned Regions": nmm / covered if covered else 0.0,
+        "Mismatch Rate Genome Level": (nmm + uncovered) / G,
+    }, details
+
+
+def _ref_n50(contigs):
+    lengths = sorted(map(len, contigs), reverse=True)
+    cum = 0
+    for length in lengths:
+        cum += length
+        if cum >= sum(lengths) / 2:
+            return length
+    return 0
+
+
+def test_n50():
+    assert calculate_n50(["A" * 10]) == 10
+    assert calculate_n50(["A" * 8, "C" * 4, "G" * 3]) == 8
+    assert calculate_n50(["AA", "CC", "GG", "TT"]) == 2
+    assert calculate_n50([]) == 0
+    r = random.Random(2)
+    for _ in range(20):
+        contigs = [random_dna(r, r.randint(1, 50)) for _ in range(r.randint(1, 30))]
+        assert calculate_n50(contigs) == _ref_n50(contigs)
+
+
+def test_tail_window_quirk():
+    r = random.Random(4)
+    genome = random_dna(r, 120)
+    # short contig (< read_length) must align against genome[-len:] only
+    short = genome[-15:]
+    to_print, ar, aq, score, start, end = align_read_or_contig_to_reference(
+        short, genome, read_length=50)
+    o_ar, o_aq, o_score, o_start, o_end = _ref_align(short, genome, 50)
+    assert (ar, aq, score, start, end) == (o_ar, o_aq, o_score, o_start, o_end)
+    assert start >= len(genome) - 15
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_batched_alignment_matches_oracle(seed):
+    r = random.Random(seed)
+    genome = random_dna(r, 400)
+    contigs = []
+    for _ in range(12):
+        i = r.randrange(350)
+        c = list(genome[i:i + r.randint(20, 120)])
+        for _ in range(r.randint(0, 3)):
+            t = r.randrange(len(c))
+            c[t] = r.choice("ACGT".replace(c[t], ""))
+        contigs.append("".join(c))
+    contigs.append(genome[-10:])            # tail-window case
+    contigs.append(contigs[0])              # duplicate (dict collapse)
+    details = align_contigs_to_reference(contigs, genome, read_length=50)
+    # first-occurrence order, duplicates collapsed
+    expect_keys = list(dict.fromkeys(contigs))
+    assert list(details.keys()) == expect_keys
+    for c in expect_keys:
+        o_ar, o_aq, o_score, o_start, o_end = _ref_align(c, genome, 50)
+        d = details[c]
+        assert d["Alignment Score"] == o_score, c
+        assert d["Start Position"] == o_start
+        assert d["End Position"] == o_end
+        assert d["Alignment_reference"] == o_ar
+        assert d["Alignment_query"] == o_aq
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_calculate_measures_parity(seed):
+    r = random.Random(seed)
+    genome = random_dna(r, 300)
+    reads = [genome[r.randrange(280):][:30] for _ in range(25)]
+    # mutate a few
+    contigs = []
+    for rd in reads:
+        c = list(rd)
+        if r.random() < 0.4 and len(c) > 2:
+            t = r.randrange(len(c))
+            c[t] = r.choice("ACGT".replace(c[t], ""))
+        contigs.append("".join(c))
+    measures, details = calculate_measures(
+        contigs, reads, len(reads), 30, 0.01, 3, genome, "t", 1, "p")
+    ref_measures, _ = _ref_measures(contigs, genome, 30)
+    assert measures == ref_measures
