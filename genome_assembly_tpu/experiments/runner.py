@@ -13,6 +13,7 @@ doing the heavy lifting instead.
 
 from __future__ import annotations
 
+import os
 import random
 
 import numpy as np
@@ -44,6 +45,27 @@ def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
         contigs, error_prone, len(error_prone), l, error_prob, k, genome,
         experiment_name, num_iteration, path, plot_hooks=plot_hooks,
         verbose=verbose)
+    return contigs, measures, details, error_prone
+
+
+def test_assembly_new_pipeline(genome: str, l: int, N: int,
+                               experiment_name: str, num_iteration: int,
+                               path: str, error_prob: float, fuzz: int,
+                               rng: random.Random | None = None,
+                               np_rng: np.random.RandomState | None = None,
+                               device: bool = True, plot_hooks=None):
+    """String-graph pipeline driver (reference testAssembly.py:42-72);
+    `fuzz` doubles as the k slot in the measures call, as in the reference
+    (testAssembly.py:69)."""
+    from ..models.string_graph import assemble_contigs_string
+
+    error_free = generate_error_free_reads(genome, l, N, rng=rng)
+    error_prone = generate_error_prone_reads(error_free, error_prob,
+                                             rs=np_rng)
+    contigs = assemble_contigs_string(error_prone, fuzz=fuzz, device=device)
+    measures, details = calculate_measures(
+        contigs, error_prone, len(error_prone), l, error_prob, fuzz, genome,
+        experiment_name, num_iteration, path, plot_hooks=plot_hooks)
     return contigs, measures, details, error_prone
 
 
@@ -79,10 +101,22 @@ def _aggregate(iteration_results: list[dict], params: dict) -> dict:
 
 
 def run_for_params(params: dict, path: str = "plots", **kw) -> dict:
-    """All iterations of one config, aggregated (experiments.py:493-534)."""
+    """All iterations of one config, aggregated (experiments.py:493-534).
+
+    Per-iteration artifacts land in `path`/test_assembly/N=.._l=.._p=.._k=..
+    like the reference (experiments.py:500-503)."""
+    print(f"Running {params['experiment_name']} simulation with "
+          f"N={params['num_reads']}, l={params['read_length']}, "
+          f"p={params['error_prob']}, k={params['k']}, "
+          f"expected coverage={params['expected_coverage']:.2f}x")
+    folder = os.path.join(
+        path, f"test_assembly/N={params['num_reads']}_"
+              f"l={params['read_length']}_p={params['error_prob']}_"
+              f"k={params['k']}")
     iters = []
     for i in range(params["num_iterations"]):
-        results = run_simulations([params], num_iteration=i + 1, path=path, **kw)
+        results = run_simulations([params], num_iteration=i + 1,
+                                  path=folder, **kw)
         iters.append(results[0])
     return _aggregate(iters, params)
 

@@ -124,25 +124,48 @@ def score_pairs(unique_reads: list[str], pairs: list[tuple[int, int]],
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     width = max(len(r) for r in unique_reads)
     if device:
+        import functools
+
+        import jax
         import jax.numpy as jnp
 
         from ..ops.overlap import overlap_scores
 
         left, lens = encode_batch(unique_reads, width=width, align="left")
         right, _ = encode_batch(unique_reads, width=width, align="right")
+        # read tensors go to the device ONCE; per chunk we ship only the
+        # pair-index arrays (8 bytes/pair vs ~2*width operand bytes) and
+        # gather on device — essential when the TPU sits behind a
+        # low-bandwidth tunnel
+        right_d = jax.device_put(right)
+        left_d = jax.device_put(left)
+        lens_d = jax.device_put(lens)
+
+        @functools.partial(jax.jit, static_argnums=())
+        def chunk_fn(r_res, l_res, len_res, sa, sb):
+            return overlap_scores(r_res[sa], len_res[sa],
+                                  l_res[sb], len_res[sb])
+
         ia = np.array([p[0] for p in pairs], dtype=np.int32)
         ib = np.array([p[1] for p in pairs], dtype=np.int32)
         scores = np.empty(len(pairs), np.int32)
         ends = np.empty(len(pairs), np.int32)
+        # fixed shape classes (powers of two, >=256) so XLA compiles at most
+        # a handful of kernel variants regardless of candidate counts
+        def shape_class(n: int) -> int:
+            c = 256
+            while c < n:
+                c *= 2
+            return min(c, chunk)
+
         for lo in range(0, len(pairs), chunk):
             hi = min(lo + chunk, len(pairs))
             n = hi - lo
-            pad = chunk - n if len(pairs) > chunk else 0
+            pad = shape_class(n) - n
             sel_a = np.concatenate([ia[lo:hi], np.zeros(pad, np.int32)])
             sel_b = np.concatenate([ib[lo:hi], np.zeros(pad, np.int32)])
-            s, e = overlap_scores(
-                jnp.asarray(right[sel_a]), jnp.asarray(lens[sel_a]),
-                jnp.asarray(left[sel_b]), jnp.asarray(lens[sel_b]))
+            s, e = chunk_fn(right_d, left_d, lens_d,
+                            jnp.asarray(sel_a), jnp.asarray(sel_b))
             scores[lo:hi] = np.asarray(s)[:n]
             ends[lo:hi] = np.asarray(e)[:n]
         return scores, ends

@@ -84,8 +84,14 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
     for (n_pad, m_pad), items in groups.items():
         for lo in range(0, len(items), max_batch):
             batch = items[lo:lo + max_batch]
-            qs = [c for c, _, _ in batch]
-            ws = [w for _, w, _ in batch]
+            # pad the batch to a fixed shape class (powers of two) so each
+            # (B, n_pad, m_pad) combination compiles exactly once on device
+            b_pad = 8
+            while b_pad < len(batch):
+                b_pad *= 2
+            fill = b_pad - len(batch)
+            qs = [c for c, _, _ in batch] + [""] * fill
+            ws = [w for _, w, _ in batch] + [""] * fill
             q_mat, q_len = encode_batch(qs, width=n_pad)
             r_mat, r_len = encode_batch(ws, width=m_pad)
             best, bi, bj, codes = local_align_batch(

@@ -170,4 +170,51 @@ int64_t gc_remove_cycles(int64_t num_nodes, int64_t num_edges,
   return removed;
 }
 
+// Reference-faithful overlap-alignment DP (reference aligners.py:6-82),
+// compiled C++ standing in for the Numba-JIT baseline (Numba lowers the same
+// loop through LLVM, so -O2/-O3 C++ is a fair cost model; numba itself is
+// not installed in this image). Full (n+1)x(m+1) table, three-way move with
+// tie-break diag >= up >= left, int64 arithmetic (the reference's
+// int64-promotion semantics under indel = -2^31), best = first max over the
+// last row (strict >). Used by bench.py as the vs_baseline denominator and
+// by tests as a fast host oracle.
+int64_t gc_overlap_baseline_batch(int64_t B, int64_t L, const int8_t* a,
+                                  const int32_t* a_len, const int8_t* b,
+                                  const int32_t* b_len, int64_t match,
+                                  int64_t mismatch, int64_t indel,
+                                  int32_t* score_out, int32_t* end_out) {
+  std::vector<int64_t> dp((L + 1) * (L + 1));
+  const int64_t stride = L + 1;
+  for (int64_t p = 0; p < B; ++p) {
+    const int64_t n = a_len[p], m = b_len[p];
+    const int8_t* s = a + p * L;
+    const int8_t* t = b + p * L;
+    for (int64_t j = 0; j <= m; ++j) dp[j] = 0;
+    for (int64_t i = 1; i <= n; ++i) dp[i * stride] = 0;
+    for (int64_t i = 1; i <= n; ++i) {
+      const int64_t* prev = &dp[(i - 1) * stride];
+      int64_t* cur = &dp[i * stride];
+      const int8_t si = s[i - 1];
+      for (int64_t j = 1; j <= m; ++j) {
+        const int64_t diag = prev[j - 1] + (si == t[j - 1] ? match : mismatch);
+        const int64_t up = prev[j] + indel;
+        const int64_t left = cur[j - 1] + indel;
+        int64_t v;
+        if (diag >= up && diag >= left) v = diag;
+        else if (up >= left) v = up;
+        else v = left;
+        cur[j] = v;
+      }
+    }
+    const int64_t* last = &dp[n * stride];
+    int64_t best = last[0];
+    int64_t bj = 0;
+    for (int64_t j = 1; j <= m; ++j)
+      if (last[j] > best) { best = last[j]; bj = j; }
+    score_out[p] = (int32_t)best;
+    end_out[p] = (int32_t)bj;
+  }
+  return B;
+}
+
 }  // extern "C"

