@@ -119,10 +119,32 @@ def score_pairs(unique_reads: list[str], pairs: list[tuple[int, int]],
     """Score ordered unique-read pairs with the overlap kernel.
 
     Returns (scores, end_positions) int32 arrays aligned with `pairs`.
+
+    Dense candidate sets (k=0 all-pairs, or >=5% of U^2) use the fused
+    all-pairs Pallas kernel (ops/overlap_allpairs.py) and gather the
+    requested entries; sparse sets batch through the chunked pair kernel.
     """
     if not pairs:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     width = max(len(r) for r in unique_reads)
+    u_count = len(unique_reads)
+    if device and len(pairs) * 20 >= u_count * u_count:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.overlap_allpairs import overlap_scores_all_pairs_auto
+
+        left, lens = encode_batch(unique_reads, width=width, align="left")
+        s_mat, e_mat = overlap_scores_all_pairs_auto(
+            jnp.asarray(left), jnp.asarray(lens))
+        ia = jnp.asarray(np.fromiter((p[0] for p in pairs), np.int32,
+                                     len(pairs)))
+        ib = jnp.asarray(np.fromiter((p[1] for p in pairs), np.int32,
+                                     len(pairs)))
+        s, e = jax.jit(lambda sm, em, a, b: (sm[a, b], em[a, b]))(
+            s_mat, e_mat, ia, ib)
+        return (np.asarray(jax.device_get(s), dtype=np.int32),
+                np.asarray(jax.device_get(e), dtype=np.int32))
     if device:
         import functools
 
