@@ -1,9 +1,9 @@
-"""All-pairs overlap scoring as a fused Pallas TPU kernel.
+"""All-pairs / block overlap scoring as a fused Pallas TPU kernel.
 
 The chunked MXU formulation in `ops/overlap.py` computes, per pair, an
 (L x L) correlation matrix with a contraction size of only 5 channels —
 ~4% MXU utilisation — and round-trips it through HBM before the diagonal
-reduction. For the *all-pairs* workload (reference `overlapGraphs.py:49`
+reduction. For dense pair workloads (reference `overlapGraphs.py:49`
 with k=0: every ordered pair of distinct reads is scored) there is a far
 better mapping to the systolic array:
 
@@ -15,24 +15,30 @@ For an overlap end position j, the no-gap overlap score (reference
 
 where A is the one-hot of the RIGHT-aligned source read and Bshift_j is
 the one-hot of the target read shifted so that b[j-d : j] lines up with
-the suffix of a. Flattening (u, c) gives ONE (N x 4L) @ (4L x N) matmul
-per j — M = N = #reads, K = 4L = 512: near-ideal MXU shapes — and the
+the suffix of a. Flattening (u, c) gives ONE (Na x 4L) @ (4L x Nb)
+matmul per j — K = 4L = 512: near-ideal MXU shapes — and the
 first-max-over-j selection (strict >, reference `aligners.py:54-57`) is
 a running elementwise update that stays RESIDENT IN VMEM across the
-whole j sweep. Nothing of size (N, N, L) ever touches HBM.
+whole j sweep. Nothing of size (Na, Nb, L) ever touches HBM.
 
-Implementation notes (measured on v5e):
+Implementation notes (measured on v5e, N=1024 / L=100):
 - The shifted one-hot stack is built WITHOUT gathers: the flattened
   one-hot row of read t, zero-extended on the left, yields Bshift_j as
   the static window [4j : 4j + 4L) — l static slices that XLA fuses
   into one copy (an index-array gather here costs ~18 ms; this costs
-  <2 ms for 1024 reads).
+  <2 ms).
 - Grid is (rows/TM, cols/TN, L/JC) with the j axis innermost so the
   (TM, TN) best/end accumulators are revisited in VMEM; JC overlap
   positions are processed per grid step to amortise the ~4 us per-step
   overhead that otherwise dominates (1600 steps of 67 MFLOP each).
+  Best measured config: TM=TN=512, JC=5 -> ~1.1 ms per 1024x1024 sweep
+  (~950M pairs/s) vs ~7 ms un-chunked.
 - bf16 one-hot operands with f32 accumulation: exact for counts <= L
   (Mosaic's s8 dot lowering VMEM-OOMs on this pattern).
+
+The rectangular `overlap_scores_block` is the shard_map building block:
+the distributed layer row-shards the pair matrix and each device scores
+its (N/D, N) block (parallel/sharded.py).
 
 Exactness: bit-identical to the reference DP's no-gap degenerate form
 for the default penalties (match=10, mismatch=-1, indel=-2**31; see
@@ -82,61 +88,72 @@ def _kernel(a_ref, bsh_ref, alen_ref, blen_ref, best_ref, end_ref,
         end_ref[:] = jnp.where(upd, j, end_ref[:])
 
 
+def _shift_stack(oh_flat: jax.Array, l: int, k: int, ljc: int) -> jax.Array:
+    """(N, k) flattened one-hots -> (N, ljc*k) shifted windows.
+
+    Window j (1-based) is the slice [4j, 4j + k) of the zero-extended
+    row: element v of Bshift_j is element v - 4*(lp - j) of the one-hot
+    (rows v = 4u + c, shift by whole slots = 4 rows per position).
+    """
+    npad = oh_flat.shape[0]
+    z = jnp.concatenate(
+        [jnp.zeros((npad, k), oh_flat.dtype), oh_flat], axis=1)
+    windows = [jax.lax.slice_in_dim(z, 4 * j, 4 * j + k, axis=1)
+               for j in range(1, l + 1)]
+    if ljc > l:  # pad the j axis: zero windows are masked by j <= len(b)
+        windows += [jnp.zeros((npad, k), oh_flat.dtype)] * (ljc - l)
+    return jnp.concatenate(windows, axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("match_score", "mismatch", "tm", "tn", "jc",
                      "interpret"))
-def overlap_scores_all_pairs(codes: jax.Array, lengths: jax.Array,
-                             match_score: int = 10, mismatch: int = -1,
-                             tm: int = 512, tn: int = 512, jc: int = 5,
-                             interpret: bool = False):
-    """Score every ordered pair of reads under the default overlap DP.
+def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
+                         b_codes: jax.Array, b_len: jax.Array,
+                         match_score: int = 10, mismatch: int = -1,
+                         tm: int = 512, tn: int = 512, jc: int = 5,
+                         interpret: bool = False):
+    """Score the (Na x Nb) block of ordered pairs (a_i, b_t).
 
     Args:
-        codes:   (N, L) int8 LEFT-aligned encoded reads (PAD-padded).
-        lengths: (N,) int32 true lengths.
-        tm, tn:  output tile sizes (rows/cols of the pair matrix).
-        jc:      overlap positions folded into one grid step.
+        a_codes: (Na, L) int8 LEFT-aligned source reads (PAD-padded).
+        a_len:   (Na,) int32 true lengths.
+        b_codes: (Nb, L) int8 LEFT-aligned target reads.
+        b_len:   (Nb,) int32.
+        tm, tn:  output tile sizes; jc: overlap positions per grid step.
 
     Returns:
-        (score, end_pos): two (N, N) int32 arrays; entry [i, t] is the
-        overlap score / end position of source read i against target t
-        (including the i == t diagonal — callers exclude self/duplicate
-        pairs, reference `overlapGraphs.py:52`).
+        (score, end_pos): (Na, Nb) int32 arrays. Self/duplicate pairs are
+        NOT excluded here (reference `overlapGraphs.py:52` — callers do).
     """
-    n, l = codes.shape
+    na, l = a_codes.shape
+    nb, lb = b_codes.shape
+    assert l == lb, "source and target reads must share the padded width"
     lp = _round_up(max(l, 32), 32)          # 4*lp is a lane multiple of 128
     k = 4 * lp
-    tile = max(tm, tn)
-    npad = _round_up(n, tile)
+    tm = min(tm, _round_up(na, 8))
+    tn = min(tn, _round_up(nb, 128))
+    mpad = _round_up(na, tm)
+    npad = _round_up(nb, tn)
     lc = -(-l // jc)                        # grid steps along j
     ljc = lc * jc                           # j padded to a multiple of jc
 
-    codes = jnp.pad(codes, ((0, npad - n), (0, lp - l)),
-                    constant_values=PAD)
-    lengths = jnp.pad(lengths, (0, npad - n)).astype(jnp.int32)
+    a_codes = jnp.pad(a_codes, ((0, mpad - na), (0, lp - l)),
+                      constant_values=PAD)
+    b_codes = jnp.pad(b_codes, ((0, npad - nb), (0, lp - l)),
+                      constant_values=PAD)
+    a_len = jnp.pad(a_len, (0, mpad - na)).astype(jnp.int32)
+    b_len = jnp.pad(b_len, (0, npad - nb)).astype(jnp.int32)
 
     # A: one-hot of right-aligned source reads, flattened (u, c) -> 4*lp.
-    a_right = right_align(codes, lengths)
-    a_flat = jax.nn.one_hot(a_right, 4, dtype=jnp.bfloat16).reshape(npad, k)
+    a_right = right_align(a_codes, a_len)
+    a_flat = jax.nn.one_hot(a_right, 4, dtype=jnp.bfloat16).reshape(mpad, k)
 
-    # Bshift: window [4j, 4j + k) of the zero-extended flattened one-hot
-    # holds slot u = b[u + j - lp] (zero vector outside [0, lp)): row
-    # v = 4u + c of Bshift_j is row v - 4*(lp - j) of the one-hot, i.e.
-    # element 4j + v of [zeros(k), oh_flat]. Static slices, no gather.
-    oh_flat = jax.nn.one_hot(codes, 4, dtype=jnp.bfloat16).reshape(npad, k)
-    z = jnp.concatenate(
-        [jnp.zeros((npad, k), jnp.bfloat16), oh_flat], axis=1)  # (npad, 2k)
-    windows = [jax.lax.slice_in_dim(z, 4 * j, 4 * j + k, axis=1)
-               for j in range(1, l + 1)]
-    if ljc > l:  # pad the j axis: zero windows are masked by j <= len(b)
-        windows += [jnp.zeros((npad, k), jnp.bfloat16)] * (ljc - l)
-    bsh = jnp.concatenate(windows, axis=1)               # (npad, ljc*k)
+    oh_flat = jax.nn.one_hot(b_codes, 4, dtype=jnp.bfloat16).reshape(npad, k)
+    bsh = _shift_stack(oh_flat, l, k, ljc)               # (npad, ljc*k)
 
-    alen2 = lengths[:, None]
-    blen2 = lengths[:, None]
-
-    grid = (npad // tm, npad // tn, lc)
+    grid = (mpad // tm, npad // tn, lc)
     best, end = pl.pallas_call(
         functools.partial(_kernel, match_score=match_score,
                           mismatch=mismatch, k=k, jc=jc),
@@ -158,18 +175,30 @@ def overlap_scores_all_pairs(codes: jax.Array, lengths: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((npad, npad), jnp.int32),
-            jax.ShapeDtypeStruct((npad, npad), jnp.int32),
+            jax.ShapeDtypeStruct((mpad, npad), jnp.int32),
+            jax.ShapeDtypeStruct((mpad, npad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * ljc * npad * npad * k,
-            bytes_accessed=2 * ljc * k * npad + npad * k + 8 * npad * npad,
+            flops=2 * ljc * mpad * npad * k,
+            bytes_accessed=(mpad // tm) * ljc * k * npad + mpad * k
+            + 8 * mpad * npad,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(a_flat, bsh, alen2, blen2)
-    return best[:n, :n], end[:n, :n]
+    )(a_flat, bsh, a_len[:, None], b_len[:, None])
+    return best[:na, :nb], end[:na, :nb]
+
+
+def overlap_scores_all_pairs(codes: jax.Array, lengths: jax.Array,
+                             match_score: int = 10, mismatch: int = -1,
+                             tm: int = 512, tn: int = 512, jc: int = 5,
+                             interpret: bool = False):
+    """Square all-pairs case of `overlap_scores_block` (same read set as
+    both source and target, i == t diagonal included)."""
+    return overlap_scores_block(
+        codes, lengths, codes, lengths, match_score=match_score,
+        mismatch=mismatch, tm=tm, tn=tn, jc=jc, interpret=interpret)
 
 
 def overlap_scores_all_pairs_auto(codes, lengths, match_score: int = 10,
@@ -178,48 +207,60 @@ def overlap_scores_all_pairs_auto(codes, lengths, match_score: int = 10,
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
     if jax.default_backend() == "tpu":
-        n = codes.shape[0]
-        tile = 512 if n >= 512 else _round_up(max(n, 128), 128)
-        return overlap_scores_all_pairs(
-            codes, lengths, match_score=match_score, mismatch=mismatch,
-            tm=tile, tn=tile)
+        return overlap_scores_all_pairs(codes, lengths,
+                                        match_score=match_score,
+                                        mismatch=mismatch)
     return overlap_scores_all_pairs_xla(
         codes, lengths, match_score=match_score, mismatch=mismatch)
 
 
-@functools.partial(jax.jit, static_argnames=("match_score", "mismatch"))
-def overlap_scores_all_pairs_xla(codes: jax.Array, lengths: jax.Array,
-                                 match_score: int = 10, mismatch: int = -1):
-    """Same all-pairs contraction in pure XLA (lax.scan over j).
+def overlap_scores_block_xla(a_codes: jax.Array, a_len: jax.Array,
+                             b_codes: jax.Array, b_len: jax.Array,
+                             match_score: int = 10, mismatch: int = -1):
+    """Same block contraction in pure XLA (lax.scan over j).
 
     Used on CPU (tests, meshes simulated with host devices) and as an
     independent cross-check of the Pallas kernel. Identical outputs.
+    shard_map-compatible: no jit decorator of its own, no host callbacks.
     """
-    n, l = codes.shape
-    lengths = lengths.astype(jnp.int32)
-    a_right = right_align(codes, lengths)
-    a_flat = jax.nn.one_hot(a_right, 4, dtype=jnp.float32).reshape(n, 4 * l)
-    oh_b = jax.nn.one_hot(codes, 4, dtype=jnp.float32)   # (n, l, 4)
+    na, l = a_codes.shape
+    nb = b_codes.shape[0]
+    a_len = a_len.astype(jnp.int32)
+    b_len = b_len.astype(jnp.int32)
+    a_right = right_align(a_codes, a_len)
+    a_flat = jax.nn.one_hot(a_right, 4, dtype=jnp.float32).reshape(na, 4 * l)
+    oh_b = jax.nn.one_hot(b_codes, 4, dtype=jnp.float32)  # (nb, l, 4)
 
     def step(carry, j):
         best, end = carry
         src = jnp.arange(l, dtype=jnp.int32) + j - l
         in_win = (src >= 0) & (src < l)
         bsh = oh_b[:, jnp.clip(src, 0, l - 1), :]
-        bsh = jnp.where(in_win[None, :, None], bsh, 0.0).reshape(n, 4 * l)
+        bsh = jnp.where(in_win[None, :, None], bsh, 0.0).reshape(nb, 4 * l)
         matches = jnp.dot(a_flat, bsh.T,
                           preferred_element_type=jnp.float32)
         matches = jnp.rint(matches).astype(jnp.int32)
-        d = jnp.minimum(lengths[:, None], j)
+        d = jnp.minimum(a_len[:, None], j)
         score = (match_score - mismatch) * matches + mismatch * d
-        valid = (j <= lengths)[None, :]
+        valid = (j <= b_len)[None, :]
         upd = valid & (score > best)
         return (jnp.where(upd, score, best), jnp.where(upd, j, end)), None
 
-    init = (jnp.zeros((n, n), jnp.int32), jnp.zeros((n, n), jnp.int32))
-    (best, end), _ = jax.lax.scan(step, init,
+    # derive the zero init from the inputs so its sharding/varying-axis
+    # type matches the body output under shard_map (scan-vma rule)
+    zero = (a_len[:, None] * 0 + b_len[None, :] * 0).astype(jnp.int32)
+    (best, end), _ = jax.lax.scan(step, (zero, zero),
                                   jnp.arange(1, l + 1, dtype=jnp.int32))
     return best, end
+
+
+@functools.partial(jax.jit, static_argnames=("match_score", "mismatch"))
+def overlap_scores_all_pairs_xla(codes: jax.Array, lengths: jax.Array,
+                                 match_score: int = 10, mismatch: int = -1):
+    """Square all-pairs case of `overlap_scores_block_xla`."""
+    return overlap_scores_block_xla(codes, lengths, codes, lengths,
+                                    match_score=match_score,
+                                    mismatch=mismatch)
 
 
 def overlap_scores_all_pairs_host(codes: np.ndarray, lengths: np.ndarray,

@@ -25,8 +25,17 @@ from jax import shard_map
 
 from ..core.encoding import PAD
 from ..ops.overlap import overlap_scores, right_align
+from ..ops.overlap_allpairs import overlap_scores_block, overlap_scores_block_xla
 from ..simulate.errors import inject_errors_device
 from ..simulate.reads import sample_reads_device
+
+
+def _block_score_fn():
+    """Per-shard block scorer: fused Pallas kernel on TPU, the identical
+    XLA contraction on CPU-simulated meshes."""
+    if jax.default_backend() == "tpu":
+        return overlap_scores_block
+    return overlap_scores_block_xla
 
 
 def sharded_overlap_scores(mesh: Mesh, a_right, a_len, b, b_len,
@@ -54,23 +63,16 @@ def all_pairs_block_scores(mesh: Mesh, reads, lengths, axis: str = "data"):
     int32-min (self-pairs are excluded by the builder anyway).
     """
     n, l = reads.shape
-    reads_r = right_align(reads, lengths)
+    score_fn = _block_score_fn()
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(None, None), P(None)),
         out_specs=(P(axis, None), P(axis, None)))
-    def _block(a_r, a_l, b_all, b_l_all):
-        rows = a_r.shape[0]
-        # expand row block against all columns: (rows*N, L)
-        ar = jnp.repeat(a_r, n, axis=0)
-        al = jnp.repeat(a_l, n, axis=0)
-        bb = jnp.tile(b_all, (rows, 1))
-        bl = jnp.tile(b_l_all, rows)
-        s, e = overlap_scores(ar, al, bb, bl)
-        return s.reshape(rows, n), e.reshape(rows, n)
+    def _block(a_blk, a_l, b_all, b_l_all):
+        return score_fn(a_blk, a_l, b_all, b_l_all)
 
-    scores, ends = _block(reads_r, lengths, reads, lengths)
+    scores, ends = _block(reads, lengths, reads, lengths)
     eye = jnp.eye(n, dtype=bool)
     return jnp.where(eye, jnp.int32(-(2**31) + 1), scores), ends
 
@@ -92,6 +94,7 @@ def sharded_pipeline_step(mesh: Mesh, key, genome_codes, read_length: int,
     shard = num_reads // n_dev
     g = genome_codes.shape[0]
     keys = jax.random.split(key, n_dev)
+    score_fn = _block_score_fn()
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -113,19 +116,13 @@ def sharded_pipeline_step(mesh: Mesh, key, genome_codes, read_length: int,
         # gather the full read set across devices (ICI all-gather)
         all_reads = jax.lax.all_gather(noisy, axis, tiled=True)
         all_lens = jax.lax.all_gather(lens, axis, tiled=True)
-        # score this shard's rows against everything
-        a_r = right_align(noisy, lens)
-        rows = shard
-        ar = jnp.repeat(a_r, num_reads, axis=0)
-        al = jnp.repeat(lens, num_reads, axis=0)
-        bb = jnp.tile(all_reads, (rows, 1))
-        bl = jnp.tile(all_lens, rows)
-        s, e = overlap_scores(ar, al, bb, bl)
+        # score this shard's row block against everything (fused kernel)
+        s, e = score_fn(noisy, lens, all_reads, all_lens)
         # true per-base read coverage: +1/-1 difference array, cumsum, psum
         delta = jnp.zeros((g + 1,), jnp.int32)
         delta = delta.at[starts].add(1)
         delta = delta.at[starts + lens].add(-1)
         cov = jax.lax.psum(jnp.cumsum(delta)[:g], axis)
-        return (s.reshape(rows, num_reads), e.reshape(rows, num_reads), cov)
+        return (s, e, cov)
 
     return _step(keys, genome_codes)

@@ -72,3 +72,28 @@ def test_fixed_length_reads():
     s, e = overlap_scores_all_pairs_xla(codes, lengths)
     np.testing.assert_array_equal(np.asarray(s), s0)
     np.testing.assert_array_equal(np.asarray(e), e0)
+
+
+def test_rectangular_block():
+    rng = np.random.default_rng(11)
+    a = _random_reads(rng, 10, 12)
+    b = _random_reads(rng, 18, 12)
+    from genome_assembly_tpu.ops.overlap_allpairs import (
+        overlap_scores_block,
+        overlap_scores_block_xla,
+    )
+    from genome_assembly_tpu.ops.overlap import overlap_scores_host
+
+    ca, la = encode_batch(a, width=12, align="left")
+    cb, lb = encode_batch(b, width=12, align="left")
+    ia, ib = np.meshgrid(np.arange(10), np.arange(18), indexing="ij")
+    s0, e0 = overlap_scores_host(ca[ia.ravel()], cb[ib.ravel()],
+                                 la[ia.ravel()], lb[ib.ravel()])
+    s0, e0 = s0.reshape(10, 18), e0.reshape(10, 18)
+    s, e = overlap_scores_block_xla(ca, la, cb, lb)
+    np.testing.assert_array_equal(np.asarray(s), s0)
+    np.testing.assert_array_equal(np.asarray(e), e0)
+    sp, ep = overlap_scores_block(ca, la, cb, lb, tm=8, tn=128,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(sp), s0)
+    np.testing.assert_array_equal(np.asarray(ep), e0)
