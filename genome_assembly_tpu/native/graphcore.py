@@ -16,12 +16,36 @@ _LIB = None
 _TRIED = False
 
 
+def _build(path: str) -> None:
+    """Compile libgraphcore.so in place when a toolchain is available.
+
+    Best-effort: any failure (no g++, read-only install, sandbox) leaves the
+    library absent and callers use the pure-Python fallbacks.
+    """
+    import subprocess
+
+    src_dir = os.path.dirname(path)
+    if not os.path.exists(os.path.join(src_dir, "graphcore.cpp")):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", src_dir],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = os.path.join(os.path.dirname(__file__), "libgraphcore.so")
+    if not os.path.exists(path):
+        _build(path)
     if os.path.exists(path):
         try:
             lib = ctypes.CDLL(path)

@@ -33,3 +33,41 @@ def make_mesh_2d(rows: int, cols: int, axis_names=("pair_i", "pair_j"),
     assert rows * cols <= len(devices)
     grid = np.asarray(devices[: rows * cols]).reshape(rows, cols)
     return Mesh(grid, axis_names)
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` with the standard
+    env-var fallbacks (the TPU-pod replacement for the reference's joblib
+    process pool, experiments.py:537). No-op when already initialised or
+    when running single-process with no coordinator configured.
+    """
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None and num_processes is None:
+        return  # single-process run: nothing to initialise
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError:
+        pass  # already initialised
+
+
+def make_mesh_hosts_chips(axis_names=("hosts", "chips"),
+                          devices=None) -> Mesh:
+    """('hosts', 'chips') mesh: the DCN axis spans processes (hosts), the
+    ICI axis spans each host's local chips. Shardings that psum/all_gather
+    over 'chips' ride ICI; 'hosts' collectives cross DCN.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_local = max(1, len([d for d in devices
+                          if d.process_index == devices[0].process_index]))
+    n_hosts = len(devices) // n_local
+    grid = np.asarray(devices[: n_hosts * n_local]).reshape(n_hosts, n_local)
+    return Mesh(grid, axis_names)

@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..core.encoding import PAD
+from ..core.encoding import PAD, encode_batch
 from ..ops.overlap import overlap_scores, right_align
 from ..ops.overlap_allpairs import overlap_scores_block, overlap_scores_block_xla
 from ..simulate.errors import inject_errors_device
@@ -75,6 +75,119 @@ def all_pairs_block_scores(mesh: Mesh, reads, lengths, axis: str = "data"):
     scores, ends = _block(reads, lengths, reads, lengths)
     eye = jnp.eye(n, dtype=bool)
     return jnp.where(eye, jnp.int32(-(2**31) + 1), scores), ends
+
+
+def all_pairs_block_scores_2d(mesh: Mesh, reads, lengths,
+                              axes=("pair_i", "pair_j")):
+    """Dense all-pairs scoring on a 2-D mesh: the N x N score matrix is
+    block-sharded over ('pair_i', 'pair_j') — each device scores its
+    (row block x column block) tile with the fused kernel. This is the
+    TP/CP analog of SURVEY.md §2.4: 2-D sharding halves per-device operand
+    memory vs row blocks and keeps all tiles on ICI neighbours.
+
+    Returns (scores, ends) (N, N) int32 with the diagonal masked out.
+    """
+    n = reads.shape[0]
+    ai, aj = axes
+    score_fn = _block_score_fn()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(ai, None), P(ai), P(aj, None), P(aj)),
+        out_specs=(P(ai, aj), P(ai, aj)))
+    def _tile(a_blk, a_l, b_blk, b_l):
+        return score_fn(a_blk, a_l, b_blk, b_l)
+
+    scores, ends = _tile(reads, lengths, reads, lengths)
+    eye = jnp.eye(n, dtype=bool)
+    return jnp.where(eye, jnp.int32(-(2**31) + 1), scores), ends
+
+
+def distributed_score_pairs(mesh: Mesh, unique_reads: list[str],
+                            pairs: list[tuple[int, int]],
+                            axis: str = "data"):
+    """Score an ordered sparse candidate-pair list across the mesh.
+
+    The flat pair batch is padded to a mesh-size multiple and sharded over
+    `axis`; each device scores its slice with the pairwise kernel. Output
+    order equals input order (sharding concatenates blocks in device order),
+    so the edge list — and therefore cycle removal, topo order, and the
+    contigs — is bit-identical to the single-device build regardless of
+    mesh size (SURVEY.md §7 hard part 5).
+
+    Returns (scores, ends) int32 host arrays aligned with `pairs`.
+    """
+    if not pairs:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+    width = max(len(r) for r in unique_reads)
+    right, lens = encode_batch(unique_reads, width=width, align="right")
+    left, _ = encode_batch(unique_reads, width=width, align="left")
+    ia = np.fromiter((p[0] for p in pairs), np.int32, len(pairs))
+    ib = np.fromiter((p[1] for p in pairs), np.int32, len(pairs))
+    n_dev = mesh.devices.size
+    n_pad = (-len(pairs)) % n_dev
+    if n_pad:
+        ia = np.concatenate([ia, np.zeros(n_pad, np.int32)])
+        ib = np.concatenate([ib, np.zeros(n_pad, np.int32)])
+    s, e = sharded_overlap_scores(
+        mesh,
+        jnp.asarray(right[ia]), jnp.asarray(lens[ia]),
+        jnp.asarray(left[ib]), jnp.asarray(lens[ib]),
+        axis=axis)
+    n = len(pairs)
+    return (np.asarray(jax.device_get(s), np.int32)[:n],
+            np.asarray(jax.device_get(e), np.int32)[:n])
+
+
+def distributed_build_overlap_graph(mesh: Mesh, reads: list[str], k: int = 5,
+                                    axis: str = "data"):
+    """Mesh-sharded overlap-graph build with reference edge order.
+
+    Candidate enumeration (host, reference order) -> sharded device scoring
+    -> host edge fanout. Produces an OverlapGraph whose edge list is
+    bit-identical to `graph.build.build_overlap_graph` on any mesh size.
+    """
+    from ..graph.build import OverlapGraph, candidate_pairs, dedup_reads
+
+    unique, counts = dedup_reads(reads)
+    offsets = np.zeros(len(unique) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    pairs = candidate_pairs(unique, k)
+    scores, ends = distributed_score_pairs(mesh, unique, pairs, axis=axis)
+
+    src_l, dst_l, w_l, e_l = [], [], [], []
+    for idx, (ua, ub) in enumerate(pairs):
+        w, ep = int(scores[idx]), int(ends[idx])
+        base_a, base_b = int(offsets[ua]), int(offsets[ub])
+        for ca in range(int(counts[ua])):
+            for cb in range(int(counts[ub])):
+                src_l.append(base_a + ca)
+                dst_l.append(base_b + cb)
+                w_l.append(w)
+                e_l.append(ep)
+    return OverlapGraph(
+        unique_reads=unique, counts=counts, offsets=offsets,
+        src=np.array(src_l, dtype=np.int32),
+        dst=np.array(dst_l, dtype=np.int32),
+        weight=np.array(w_l, dtype=np.int32),
+        end_pos=np.array(e_l, dtype=np.int32))
+
+
+def distributed_assemble_contigs(mesh: Mesh, reads: list[str], k: int = 5,
+                                 axis: str = "data",
+                                 use_native: bool = True) -> list[str]:
+    """Full distributed assembly: sharded pair scoring over the mesh, then
+    exact-parity layout (cycle removal -> topo -> greedy walk) on host.
+    Contigs are identical to the single-chip `models.overlap_graph`
+    pipeline — scoring order is mesh-size invariant by construction.
+    """
+    from ..graph.cycles import remove_cycles
+    from ..graph.layout import walk_contigs
+    from ..graph.topo import topological_order
+
+    g = distributed_build_overlap_graph(mesh, reads, k=k, axis=axis)
+    remove_cycles(g, use_native=use_native)
+    return walk_contigs(g, topological_order(g))
 
 
 def sharded_pipeline_step(mesh: Mesh, key, genome_codes, read_length: int,

@@ -14,9 +14,15 @@ import pytest
 from genome_assembly_tpu.core.encoding import encode, encode_batch
 from genome_assembly_tpu.ops.oracle import overlap_align_oracle
 from genome_assembly_tpu.ops.overlap import overlap_scores
-from genome_assembly_tpu.parallel.mesh import make_mesh
+from genome_assembly_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    make_mesh_hosts_chips,
+)
 from genome_assembly_tpu.parallel.sharded import (
     all_pairs_block_scores,
+    all_pairs_block_scores_2d,
+    distributed_assemble_contigs,
     sharded_overlap_scores,
     sharded_pipeline_step,
 )
@@ -103,3 +109,46 @@ def test_mesh_size_determinism():
     s8, e8 = all_pairs_block_scores(make_mesh(8), jnp.asarray(mat), jnp.asarray(lens))
     assert (np.asarray(s1) == np.asarray(s8)).all()
     assert (np.asarray(e1) == np.asarray(e8)).all()
+
+
+def test_all_pairs_block_scores_2d_matches_1d():
+    """2-D ('pair_i','pair_j') tile sharding == 1-D row blocks == oracle."""
+    r = random.Random(5)
+    reads_s = [random_dna(r, r.randint(5, 10)) for _ in range(16)]
+    mat, lens = encode_batch(reads_s, width=10, align="left")
+    mat, lens = jnp.asarray(mat), jnp.asarray(lens)
+    s1, e1 = all_pairs_block_scores(make_mesh(8), mat, lens)
+    s2, e2 = all_pairs_block_scores_2d(make_mesh_2d(4, 2), mat, lens)
+    s3, e3 = all_pairs_block_scores_2d(make_mesh_2d(2, 4), mat, lens)
+    assert (np.asarray(s1) == np.asarray(s2)).all()
+    assert (np.asarray(e1) == np.asarray(e2)).all()
+    assert (np.asarray(s1) == np.asarray(s3)).all()
+    assert (np.asarray(e1) == np.asarray(e3)).all()
+
+
+def test_hosts_chips_mesh_single_host():
+    mesh = make_mesh_hosts_chips()
+    assert mesh.axis_names == ("hosts", "chips")
+    assert mesh.devices.shape == (1, 8)
+
+
+def test_distributed_assembly_matches_single_chip():
+    """The full mesh-sharded assembly produces bit-identical contigs to the
+    single-device pipeline on every mesh size, for k>0 and k=0."""
+    from genome_assembly_tpu.models.overlap_graph import (
+        assemble_contigs_using_overlap_graphs,
+    )
+    from genome_assembly_tpu.simulate import (
+        generate_error_free_reads,
+        generate_error_prone_reads,
+    )
+
+    r = random.Random(6)
+    genome = random_dna(r, 300)
+    reads = generate_error_free_reads(genome, 25, 60, rng=random.Random(7))
+    reads = generate_error_prone_reads(reads, 0.02, rs=np.random.RandomState(8))
+    for k in (5, 0):
+        ref_contigs = assemble_contigs_using_overlap_graphs(reads, k=k)
+        for n_dev in (1, 4, 8):
+            got = distributed_assemble_contigs(make_mesh(n_dev), reads, k=k)
+            assert got == ref_contigs, (k, n_dev)
