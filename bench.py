@@ -1,26 +1,31 @@
 """Headline benchmark: overlap-pair scoring throughput on one chip.
 
-Measures the fused all-pairs Pallas overlap kernel
-(`ops/overlap_allpairs.py`) on the dense N x N pair space of PhiX reads
-(N=1000, l=100 — BASELINE.json metric config) and compares against the
-reference's Numba `overlap_alignment` baseline (reference
+Measures the fused all-pairs overlap kernel (`ops/overlap_allpairs.py`,
+Pallas on TPU, XLA-scan elsewhere) on the dense N x N pair space of PhiX
+reads (N=1000, l=100 — BASELINE.json metric config) and compares against
+the reference's Numba `overlap_alignment` baseline (reference
 `aligners.py:6-82`), stood in by the same full-DP loop compiled as C++
 -O3 (numba is not installed in this image; Numba lowers the identical
 loop through LLVM, so this is a fair — if anything generous — baseline).
 
 Timing methodology: the device under the axon tunnel executes lazily and
-memoizes identical dispatches, so naive per-call timing measures nothing.
-The benchmark runs REP sweeps with rotated inputs inside ONE jitted
-lax.scan, reduces every sweep's outputs into a scalar, and includes the
-scalar's device->host fetch in the timed region; per-sweep cost is the
-total divided by REP (one RPC round-trip amortised across all sweeps).
+memoizes identical dispatches, so naive per-call timing measures
+nothing. The benchmark pre-stages REP rotated input buffers on device,
+dispatches one all-pairs sweep per buffer, folds every sweep's outputs
+into ONE running scalar (so no sweep can be elided by a lazy executor),
+and includes the scalar's device->host fetch in the timed region;
+per-sweep cost is the total divided by REP. (A lax.scan harness would
+amortise dispatch the same way, but wrapping the Pallas kernel in scan
+hangs Mosaic compilation on the current toolchain — round-2 finding.)
 
 Prints ONE JSON line:
-  {"metric": ..., "value": pairs/s, "unit": "pairs/s", "vs_baseline": ratio}
+  {"metric": ..., "value": pairs/s, "unit": "pairs/s",
+   "vs_baseline": ratio, "tflops": achieved, "mfu": achieved/peak}
 
 Env knobs: BENCH_N (reads, default 1000), BENCH_L (read length, 100),
-BENCH_REP (sweeps per timed dispatch, 30), BENCH_QUICK=1 (small shapes
-for smoke-testing on CPU).
+BENCH_REP (sweeps per timed run, 20), BENCH_IMPL (auto|pallas|xla),
+BENCH_QUICK=1 (small shapes for smoke-testing on CPU),
+GA_TPU_PEAK_TFLOPS (bf16 peak for MFU, default 197 = TPU v5e).
 """
 
 import json
@@ -38,13 +43,14 @@ def main():
     quick = os.environ.get("BENCH_QUICK") == "1"
     N = int(os.environ.get("BENCH_N", "128" if quick else "1000"))
     L = int(os.environ.get("BENCH_L", "32" if quick else "100"))
-    REP = int(os.environ.get("BENCH_REP", "4" if quick else "30"))
+    REP = int(os.environ.get("BENCH_REP", "4" if quick else "20"))
+    impl = os.environ.get("BENCH_IMPL", "auto")
     seed = 0
 
     import jax
 
-    # persistent compile cache: the ~1-2 min kernel+sweep compile is paid
-    # once per machine, not once per bench invocation
+    # persistent compile cache: the compile is paid once per machine,
+    # not once per bench invocation
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("BENCH_CACHE_DIR",
@@ -58,6 +64,7 @@ def main():
     from genome_assembly_tpu.native import graphcore
     from genome_assembly_tpu.ops.overlap_allpairs import (
         overlap_scores_all_pairs,
+        overlap_scores_all_pairs_auto,
         overlap_scores_all_pairs_xla,
     )
     from genome_assembly_tpu.simulate import (
@@ -73,32 +80,41 @@ def main():
     reads = generate_error_prone_reads(
         reads, 0.01, rs=np.random.RandomState(seed))
     codes, lengths = encode_batch(reads, width=L, align="left")
-    on_tpu = jax.default_backend() == "tpu"
 
-    def score_fn(c, l):
-        if on_tpu:
-            return overlap_scores_all_pairs(c, l)
-        return overlap_scores_all_pairs_xla(c, l)
+    score_fn = {
+        "pallas": overlap_scores_all_pairs,
+        "xla": overlap_scores_all_pairs_xla,
+        "auto": overlap_scores_all_pairs_auto,
+    }[impl]
 
-    @jax.jit
-    def sweep(c, l):
-        # REP all-pairs sweeps over rotated read sets, reduced to one
-        # scalar so no sweep can be skipped by a lazy executor.
-        def body(acc, i):
-            s, e = score_fn(jnp.roll(c, i, axis=0), jnp.roll(l, i))
-            return acc + s.sum() + e.sum(), None
-        return jax.lax.scan(body, jnp.int32(0), jnp.arange(REP))[0]
+    f = jax.jit(
+        lambda c, l: (lambda se: se[0].sum() + se[1].sum())(score_fn(c, l)))
 
-    cd = jax.device_put(jnp.asarray(codes))
+    # REP distinct input buffers (row-rotated read sets), staged on device
     ld = jax.device_put(jnp.asarray(lengths))
-    int(sweep(cd, ld))  # compile + warm
+    variants = [jax.device_put(jnp.asarray(np.roll(codes, i + 1, axis=0)))
+                for i in range(REP)]
+    jax.block_until_ready(variants)
+    int(f(variants[0], ld))  # compile
+    acc = jnp.int32(0)       # warm pass: first touch of each buffer and
+    for c in variants:       # of the executable's steady state is slow
+        acc = acc + f(c, ld)  # under the tunnel (~20x) — not steady-state
+    int(acc)
 
-    # timed: fresh input (defeats dispatch memoisation), fetch included
-    cd2 = jax.device_put(jnp.asarray(np.roll(codes, 1, axis=1)))
     t0 = time.perf_counter()
-    int(sweep(cd2, ld))
+    acc = jnp.int32(0)
+    for c in variants:
+        acc = acc + f(c, ld)
+    int(acc)  # one fetch forces every chained sweep
     dt = (time.perf_counter() - t0) / REP
     device_pps = N * N / dt
+
+    # achieved matmul FLOP/s of the sweep (main contraction + in-kernel
+    # shift matmuls at lp=128 lanes) and MFU against bf16 peak
+    lp = 128 if L <= 128 else ((L + 127) // 128) * 128
+    flops = L * (8 * N * N * lp) + L * 8 * N * lp * lp
+    tflops = flops / dt / 1e12
+    peak = float(os.environ.get("GA_TPU_PEAK_TFLOPS", "197"))
 
     # ---- baseline: compiled reference DP on a sample, extrapolated ----
     if graphcore.available():
@@ -126,6 +142,8 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(device_pps / baseline_pps, 2)
         if baseline_pps == baseline_pps else None,
+        "tflops": round(tflops, 2),
+        "mfu": round(tflops / peak, 4),
     }))
 
 

@@ -46,13 +46,24 @@ def right_align(reads: jax.Array, lengths: jax.Array) -> jax.Array:
     """Shift each left-aligned padded read to the right edge of its slot.
 
     (N, L) int8 + (N,) lengths -> (N, L) int8 with PAD on the left.
+
+    Implemented as a log2(L) cascade of STATIC shifts with per-row
+    selects (binary decomposition of each row's shift amount) instead of
+    a `take_along_axis` gather: per-row gathers along the lane axis cost
+    ~45 ms per N=1024 batch on the current TPU toolchain, while this
+    cascade is a handful of fused elementwise ops (<0.1 ms).
     """
     n, l = reads.shape
-    shift = l - lengths  # (N,)
-    u = jnp.arange(l, dtype=jnp.int32)[None, :]
-    src = u - shift[:, None]
-    gathered = jnp.take_along_axis(reads, jnp.clip(src, 0, l - 1), axis=1)
-    return jnp.where(src >= 0, gathered, PAD)
+    shift = (l - lengths).astype(jnp.int32)  # (N,) in [0, L]
+    out = reads
+    step = 1
+    while step <= l:
+        rolled = jnp.pad(out, ((0, 0), (step, 0)),
+                         constant_values=PAD)[:, :l]
+        take = (shift & step) != 0
+        out = jnp.where(take[:, None], rolled, out)
+        step <<= 1
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("match_score", "mismatch"))
