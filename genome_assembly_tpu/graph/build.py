@@ -50,9 +50,15 @@ class OverlapGraph:
         if self.alive is None:
             self.alive = np.ones(len(self.src), dtype=bool)
         if not self.adj:
-            self.adj = [[] for _ in range(self.num_nodes)]
-            for e in range(len(self.src)):
-                self.adj[self.src[e]].append(e)
+            # insertion-order adjacency without a Python per-edge loop: a
+            # STABLE argsort of src keeps edge indices in insertion order
+            # within each node's group (matters at the dense-k=0 scale,
+            # millions of edges)
+            order = np.argsort(self.src, kind="stable")
+            bounds = np.searchsorted(
+                self.src[order], np.arange(self.num_nodes + 1))
+            self.adj = [order[bounds[v]:bounds[v + 1]]
+                        for v in range(self.num_nodes)]
 
     @property
     def num_nodes(self) -> int:
@@ -114,21 +120,58 @@ def candidate_pairs(unique_reads: list[str], k: int) -> list[tuple[int, int]]:
     return pairs
 
 
-def score_pairs(unique_reads: list[str], pairs: list[tuple[int, int]],
+def candidate_pairs_arrays(unique_reads: list[str], k: int,
+                           device: bool = True):
+    """Ordered candidate pairs as (ia, ib) int32 index arrays.
+
+    Same enumeration order as `candidate_pairs` (the reference's,
+    overlapGraphs.py:30-53) but vectorized end to end: k=0 is a numpy
+    meshgrid; 1 <= k <= 15 runs the device sort-join
+    (graph/candidates.py); larger k (outside the reference's grids,
+    experiments.py:53) falls back to the host dict join.
+    """
+    from .candidates import MAX_DEVICE_K, candidate_pairs_dense, candidate_pairs_device
+
+    if k == 0:
+        return candidate_pairs_dense(len(unique_reads))
+    if device and 0 < k <= MAX_DEVICE_K:
+        return candidate_pairs_device(unique_reads, k)
+    pairs = candidate_pairs(unique_reads, k)
+    ia = np.fromiter((p[0] for p in pairs), np.int32, len(pairs))
+    ib = np.fromiter((p[1] for p in pairs), np.int32, len(pairs))
+    return ia, ib
+
+
+def _pairs_to_arrays(pairs):
+    """Normalize a pair spec — list[(ua, ub)] or an (ia, ib) array tuple —
+    to int32 index arrays."""
+    if (isinstance(pairs, tuple) and len(pairs) == 2
+            and isinstance(pairs[0], np.ndarray)):
+        return (np.ascontiguousarray(pairs[0], dtype=np.int32),
+                np.ascontiguousarray(pairs[1], dtype=np.int32))
+    ia = np.fromiter((p[0] for p in pairs), np.int32, len(pairs))
+    ib = np.fromiter((p[1] for p in pairs), np.int32, len(pairs))
+    return ia, ib
+
+
+def score_pairs(unique_reads: list[str], pairs,
                 chunk: int = 16384, device: bool = True):
     """Score ordered unique-read pairs with the overlap kernel.
 
+    `pairs` is a list of (ua, ub) tuples or an (ia, ib) index-array tuple.
     Returns (scores, end_positions) int32 arrays aligned with `pairs`.
 
     Dense candidate sets (k=0 all-pairs, or >=5% of U^2) use the fused
     all-pairs Pallas kernel (ops/overlap_allpairs.py) and gather the
     requested entries; sparse sets batch through the chunked pair kernel.
     """
-    if not pairs:
+    ia, ib = _pairs_to_arrays(pairs)
+    n_pairs = len(ia)
+    if n_pairs == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     width = max(len(r) for r in unique_reads)
     u_count = len(unique_reads)
-    if device and len(pairs) * 20 >= u_count * u_count:
+    if device and n_pairs * 20 >= u_count * u_count:
         import jax
         import jax.numpy as jnp
 
@@ -137,12 +180,8 @@ def score_pairs(unique_reads: list[str], pairs: list[tuple[int, int]],
         left, lens = encode_batch(unique_reads, width=width, align="left")
         s_mat, e_mat = overlap_scores_all_pairs_auto(
             jnp.asarray(left), jnp.asarray(lens))
-        ia = jnp.asarray(np.fromiter((p[0] for p in pairs), np.int32,
-                                     len(pairs)))
-        ib = jnp.asarray(np.fromiter((p[1] for p in pairs), np.int32,
-                                     len(pairs)))
         s, e = jax.jit(lambda sm, em, a, b: (sm[a, b], em[a, b]))(
-            s_mat, e_mat, ia, ib)
+            s_mat, e_mat, jnp.asarray(ia), jnp.asarray(ib))
         return (np.asarray(jax.device_get(s), dtype=np.int32),
                 np.asarray(jax.device_get(e), dtype=np.int32))
     if device:
@@ -168,10 +207,8 @@ def score_pairs(unique_reads: list[str], pairs: list[tuple[int, int]],
             return overlap_scores(r_res[sa], len_res[sa],
                                   l_res[sb], len_res[sb])
 
-        ia = np.array([p[0] for p in pairs], dtype=np.int32)
-        ib = np.array([p[1] for p in pairs], dtype=np.int32)
-        scores = np.empty(len(pairs), np.int32)
-        ends = np.empty(len(pairs), np.int32)
+        scores = np.empty(n_pairs, np.int32)
+        ends = np.empty(n_pairs, np.int32)
         # fixed shape classes (powers of two, >=256) so XLA compiles at most
         # a handful of kernel variants regardless of candidate counts
         def shape_class(n: int) -> int:
@@ -180,8 +217,8 @@ def score_pairs(unique_reads: list[str], pairs: list[tuple[int, int]],
                 c *= 2
             return min(c, chunk)
 
-        for lo in range(0, len(pairs), chunk):
-            hi = min(lo + chunk, len(pairs))
+        for lo in range(0, n_pairs, chunk):
+            hi = min(lo + chunk, n_pairs)
             n = hi - lo
             pad = shape_class(n) - n
             sel_a = np.concatenate([ia[lo:hi], np.zeros(pad, np.int32)])
@@ -194,12 +231,35 @@ def score_pairs(unique_reads: list[str], pairs: list[tuple[int, int]],
     else:
         from ..ops.oracle import overlap_align_oracle
 
-        scores = np.empty(len(pairs), np.int32)
-        ends = np.empty(len(pairs), np.int32)
-        for i, (ua, ub) in enumerate(pairs):
-            _, _, s, e = overlap_align_oracle(unique_reads[ua], unique_reads[ub])
+        scores = np.empty(n_pairs, np.int32)
+        ends = np.empty(n_pairs, np.int32)
+        for i in range(n_pairs):
+            _, _, s, e = overlap_align_oracle(unique_reads[ia[i]],
+                                              unique_reads[ib[i]])
             scores[i], ends[i] = s, e
         return scores, ends
+
+
+def fanout_edges(ia: np.ndarray, ib: np.ndarray, scores: np.ndarray,
+                 ends: np.ndarray, counts: np.ndarray, offsets: np.ndarray):
+    """Expand per-unique-pair edges to per-copy-pair edges, vectorized.
+
+    Order matches the reference's add_edge order (overlapGraphs.py:55-60):
+    pair enumeration order, then copy_a-major / copy_b-minor within each
+    pair — edge r of pair p has ca = r // counts[ib[p]], cb = r % counts[ib[p]].
+    """
+    rep = counts[ia].astype(np.int64) * counts[ib].astype(np.int64)
+    total = int(rep.sum())
+    pair_of_edge = np.repeat(np.arange(len(ia), dtype=np.int64), rep)
+    starts = np.cumsum(rep) - rep
+    within = np.arange(total, dtype=np.int64) - starts[pair_of_edge]
+    cb_count = counts[ib][pair_of_edge].astype(np.int64)
+    ca = within // cb_count
+    cb = within % cb_count
+    src = (offsets[ia][pair_of_edge] + ca).astype(np.int32)
+    dst = (offsets[ib][pair_of_edge] + cb).astype(np.int32)
+    return (src, dst, scores[pair_of_edge].astype(np.int32),
+            ends[pair_of_edge].astype(np.int32))
 
 
 def build_overlap_graph(reads: list[str], k: int = 5,
@@ -214,29 +274,9 @@ def build_overlap_graph(reads: list[str], k: int = 5,
     offsets = np.zeros(len(unique) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
 
-    pairs = candidate_pairs(unique, k)
-    scores, ends = score_pairs(unique, pairs, device=device)
-
-    src_l: list[int] = []
-    dst_l: list[int] = []
-    w_l: list[int] = []
-    e_l: list[int] = []
-    for idx, (ua, ub) in enumerate(pairs):
-        w, ep = int(scores[idx]), int(ends[idx])
-        base_a, base_b = int(offsets[ua]), int(offsets[ub])
-        for ca in range(int(counts[ua])):
-            for cb in range(int(counts[ub])):
-                src_l.append(base_a + ca)
-                dst_l.append(base_b + cb)
-                w_l.append(w)
-                e_l.append(ep)
-
-    return OverlapGraph(
-        unique_reads=unique,
-        counts=counts,
-        offsets=offsets,
-        src=np.array(src_l, dtype=np.int32),
-        dst=np.array(dst_l, dtype=np.int32),
-        weight=np.array(w_l, dtype=np.int32),
-        end_pos=np.array(e_l, dtype=np.int32),
-    )
+    ia, ib = candidate_pairs_arrays(unique, k, device=device)
+    scores, ends = score_pairs(unique, (ia, ib), device=device)
+    src, dst, weight, end_pos = fanout_edges(ia, ib, scores, ends,
+                                             counts, offsets)
+    return OverlapGraph(unique_reads=unique, counts=counts, offsets=offsets,
+                        src=src, dst=dst, weight=weight, end_pos=end_pos)

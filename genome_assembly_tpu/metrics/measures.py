@@ -18,10 +18,118 @@ Reference semantics (performanceMeasures.py):
 
 from __future__ import annotations
 
+import functools
+import os
+
 import numpy as np
 
 from ..core.config import METRIC_NAMES
 from .align_to_ref import align_contigs_to_reference
+
+_DASH = np.uint8(ord("-"))
+
+
+def _shape_class(n: int) -> int:
+    c = 4096
+    while c < n:
+        c *= 2
+    return c
+
+
+def _coverage_and_mismatch_python(details: dict, genome_length: int):
+    """The reference's per-column interpreter loop
+    (performanceMeasures.py:25-50); kept as the parity oracle for the
+    vectorized path below."""
+    coverage = np.zeros(genome_length)
+    mismatches = np.zeros(genome_length)
+    for contig, d in details.items():
+        start, end = d["Start Position"], d["End Position"]
+        if start == -1 or end == -1:
+            continue
+        coverage[start:end] += 1
+        ar = d["Alignment_reference"]
+        aq = d["Alignment_query"]
+        for i in range(end - start):
+            if aq[i] == "-" or aq[i] != ar[i]:
+                mismatches[start + i] += 1
+    return coverage, mismatches
+
+
+@functools.lru_cache(maxsize=1)
+def _scatter_device_fn():
+    """One-shot device scatter: coverage via a +1/−1 difference array and
+    cumsum; mismatch counts via scatter-add over aligned columns (SURVEY.md
+    §2.4 metrics row — the jnp equivalent of performanceMeasures.py:25-50).
+    Padding rows carry index g (coverage: trimmed slot; mismatch: dropped
+    as out-of-bounds, JAX's default scatter mode). JAX import is deferred
+    to first use."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def _scatter(pos, mm, starts, ends, g: int):
+        delta = jnp.zeros(g + 1, jnp.int32).at[starts].add(1).at[ends].add(-1)
+        coverage = jnp.cumsum(delta)[:g]
+        mism = jnp.zeros(g, jnp.int32).at[pos].add(mm.astype(jnp.int32))
+        return coverage, mism
+
+    return _scatter
+
+
+def coverage_and_mismatch_vectors(details: dict, genome_length: int,
+                                  device: bool | None = None):
+    """Vectorized (coverage, mismatches) count vectors, bit-equal to the
+    reference loop. Per contig the aligned-column compare is one numpy
+    bytes comparison; the global accumulation is a single device
+    scatter-add (or np.add.at when JAX is disabled via GA_TPU_DEVICE=0)."""
+    if device is None:
+        device = os.environ.get("GA_TPU_DEVICE", "1") != "0"
+    pos_parts, mm_parts, starts_l, ends_l = [], [], [], []
+    for contig, d in details.items():
+        start, end = d["Start Position"], d["End Position"]
+        if start == -1 or end == -1:
+            continue
+        starts_l.append(start)
+        ends_l.append(end)
+        span = end - start
+        if span <= 0:
+            continue
+        ar = np.frombuffer(
+            d["Alignment_reference"][:span].encode("ascii"), np.uint8)
+        aq = np.frombuffer(
+            d["Alignment_query"][:span].encode("ascii"), np.uint8)
+        mm_parts.append((aq == _DASH) | (aq != ar))
+        pos_parts.append(np.arange(start, end, dtype=np.int32))
+    if not starts_l:
+        return np.zeros(genome_length), np.zeros(genome_length)
+    starts = np.asarray(starts_l, np.int32)
+    ends = np.asarray(ends_l, np.int32)
+    pos = (np.concatenate(pos_parts) if pos_parts
+           else np.zeros(0, np.int32))
+    mm = (np.concatenate(mm_parts) if mm_parts
+          else np.zeros(0, bool))
+    if device:
+        import jax
+
+        g = genome_length
+        # pad to shape classes (index g = dropped/trimmed) so XLA compiles
+        # a handful of scatter variants, not one per contig count
+        cp = _shape_class(len(pos))
+        sp = _shape_class(len(starts))
+        pos_p = np.full(cp, g, np.int32); pos_p[:len(pos)] = pos
+        mm_p = np.zeros(cp, bool); mm_p[:len(mm)] = mm
+        st_p = np.full(sp, g, np.int32); st_p[:len(starts)] = starts
+        en_p = np.full(sp, g, np.int32); en_p[:len(ends)] = ends
+        cov, mis = _scatter_device_fn()(pos_p, mm_p, st_p, en_p, g)
+        return (np.asarray(jax.device_get(cov), np.int64).astype(float),
+                np.asarray(jax.device_get(mis), np.int64).astype(float))
+    coverage = np.zeros(genome_length + 1, np.int64)
+    np.add.at(coverage, starts, 1)
+    np.add.at(coverage, ends, -1)
+    coverage = np.cumsum(coverage)[:genome_length].astype(float)
+    mismatches = np.zeros(genome_length, np.int64)
+    np.add.at(mismatches, pos[mm], 1)
+    return coverage, mismatches.astype(float)
 
 
 def calculate_n50(contigs: list[str]) -> int:
@@ -41,20 +149,8 @@ def calculate_genome_coverage_and_mismatch_rate(
         path: str = "plots", plot_hooks=None):
     """Returns (coverage_rate, mismatch_rate_aligned, mismatch_rate_genome)."""
     genome_length = len(reference_genome)
-    coverage = np.zeros(genome_length)
-    mismatches = np.zeros(genome_length)
-
-    for contig, d in contigs_alignment_details.items():
-        start, end = d["Start Position"], d["End Position"]
-        if start == -1 or end == -1:
-            continue
-        coverage[start:end] += 1
-        ar = d["Alignment_reference"]
-        aq = d["Alignment_query"]
-        span = end - start
-        for i in range(span):
-            if aq[i] == "-" or aq[i] != ar[i]:
-                mismatches[start + i] += 1
+    coverage, mismatches = coverage_and_mismatch_vectors(
+        contigs_alignment_details, genome_length)
 
     if plot_hooks is not None:
         # reference gating (performanceMeasures.py:53-58): skip flat coverage

@@ -12,6 +12,7 @@ from ..graph.build import build_overlap_graph
 from ..graph.cycles import remove_cycles
 from ..graph.layout import walk_contigs
 from ..graph.topo import topological_order
+from ..utils.tracing import stage
 
 
 def assemble_contigs_using_overlap_graphs(reads: list[str], k: int = 5,
@@ -28,16 +29,24 @@ def assemble_contigs_using_overlap_graphs(reads: list[str], k: int = 5,
             signature parity, overlapGraphs.py:151).
         device: score candidate pairs on the accelerator.
         use_native: use the C++ graph engine when available.
+
+    Every stage feeds the global tracer (utils/tracing.py); print a table
+    with `genome_assembly_tpu.utils.tracing.global_tracer().report()` or
+    run the CLI with --trace.
     """
     def log(msg):
         if verbose:
             print(msg)
 
     log(f"Constructing overlap graph (k={k}, reads={len(reads)})...")
-    g = build_overlap_graph(reads, k=k, device=device)
+    with stage("graph.build"):
+        g = build_overlap_graph(reads, k=k, device=device)
     log(f"Removing cycles ({len(g.src)} edges)...")
-    remove_cycles(g, use_native=use_native)
+    with stage("graph.remove_cycles", items=len(g.src)):
+        remove_cycles(g, use_native=use_native)
     log("Sorting graph topologically...")
-    topo_nodes = topological_order(g)
+    with stage("graph.topo_sort"):
+        topo_nodes = topological_order(g)
     log("Creating contigs...")
-    return walk_contigs(g, topo_nodes)
+    with stage("graph.walk_contigs"):
+        return walk_contigs(g, topo_nodes)

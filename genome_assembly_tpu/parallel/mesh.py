@@ -49,13 +49,16 @@ def init_distributed(coordinator_address: str | None = None,
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None and num_processes is None:
         return  # single-process run: nothing to initialise
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
-    except RuntimeError:
-        pass  # already initialised
+    # Only skip when actually initialised; a genuine bring-up failure
+    # (bad coordinator address, port clash, timeout) must propagate —
+    # swallowing it would silently degrade a pod run to single-host.
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialised
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
 
 
 def make_mesh_hosts_chips(axis_names=("hosts", "chips"),
@@ -66,8 +69,15 @@ def make_mesh_hosts_chips(axis_names=("hosts", "chips"),
     """
     if devices is None:
         devices = jax.devices()
+    # jax.devices() order is not guaranteed to group by process; sort so
+    # each 'hosts' row really is one process's local chips (otherwise the
+    # 'chips' axis would silently carry DCN traffic).
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
     n_local = max(1, len([d for d in devices
                           if d.process_index == devices[0].process_index]))
+    assert len(devices) % n_local == 0, (
+        f"uneven local device counts: {len(devices)} devices, "
+        f"{n_local} on process {devices[0].process_index}")
     n_hosts = len(devices) // n_local
-    grid = np.asarray(devices[: n_hosts * n_local]).reshape(n_hosts, n_local)
+    grid = np.asarray(devices).reshape(n_hosts, n_local)
     return Mesh(grid, axis_names)

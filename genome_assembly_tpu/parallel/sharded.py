@@ -44,6 +44,11 @@ def sharded_overlap_scores(mesh: Mesh, a_right, a_len, b, b_len,
 
     Pair count must be divisible by the mesh size (pad upstream).
     """
+    n_dev = mesh.shape[axis]
+    assert a_right.shape[0] % n_dev == 0, (
+        f"pair count {a_right.shape[0]} not divisible by mesh axis "
+        f"'{axis}' size {n_dev}; pad the pair batch upstream")
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -52,6 +57,33 @@ def sharded_overlap_scores(mesh: Mesh, a_right, a_len, b, b_len,
         return overlap_scores(ar, al, bb, bl)
 
     return _score(a_right, a_len, b, b_len)
+
+
+def sharded_overlap_scores_indexed(mesh: Mesh, right, left, lens, ia, ib,
+                                   axis: str = "data"):
+    """Score pairs given by index arrays; operand gather happens ON DEVICE.
+
+    The unique-read tensors (right-/left-aligned, U x L int8) are small and
+    replicated; only the 8-byte pair indices are sharded. This avoids
+    materialising the full (P, L) operand arrays on host — for k=0 that
+    would be O(U^2 * L) host memory — matching the chunked single-device
+    path's behaviour (ship reads once, ship indices per pair).
+
+    ia/ib length must be divisible by the mesh size (pad upstream).
+    """
+    n_dev = mesh.shape[axis]
+    assert ia.shape[0] % n_dev == 0, (
+        f"pair count {ia.shape[0]} not divisible by mesh axis "
+        f"'{axis}' size {n_dev}; pad the index arrays upstream")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(None), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)))
+    def _score(r, lft, ln, ia_s, ib_s):
+        return overlap_scores(r[ia_s], ln[ia_s], lft[ib_s], ln[ib_s])
+
+    return _score(right, left, lens, ia, ib)
 
 
 def all_pairs_block_scores(mesh: Mesh, reads, lengths, axis: str = "data"):
@@ -63,6 +95,10 @@ def all_pairs_block_scores(mesh: Mesh, reads, lengths, axis: str = "data"):
     int32-min (self-pairs are excluded by the builder anyway).
     """
     n, l = reads.shape
+    n_dev = mesh.shape[axis]
+    assert n % n_dev == 0, (
+        f"N={n} not divisible by mesh axis '{axis}' size {n_dev}; "
+        f"pad the read set to a mesh-size multiple")
     score_fn = _block_score_fn()
 
     @functools.partial(
@@ -86,9 +122,15 @@ def all_pairs_block_scores_2d(mesh: Mesh, reads, lengths,
     memory vs row blocks and keeps all tiles on ICI neighbours.
 
     Returns (scores, ends) (N, N) int32 with the diagonal masked out.
+
+    N must be divisible by BOTH mesh dimensions (shard_map constraint);
+    pad the read set to the tile multiple otherwise.
     """
     n = reads.shape[0]
     ai, aj = axes
+    assert n % mesh.shape[ai] == 0 and n % mesh.shape[aj] == 0, (
+        f"N={n} must be divisible by both mesh axes "
+        f"({ai}={mesh.shape[ai]}, {aj}={mesh.shape[aj]}); pad the read set")
     score_fn = _block_score_fn()
 
     @functools.partial(
@@ -117,24 +159,25 @@ def distributed_score_pairs(mesh: Mesh, unique_reads: list[str],
 
     Returns (scores, ends) int32 host arrays aligned with `pairs`.
     """
-    if not pairs:
+    from ..graph.build import _pairs_to_arrays
+
+    ia, ib = _pairs_to_arrays(pairs)
+    if len(ia) == 0:
         return (np.zeros(0, np.int32), np.zeros(0, np.int32))
     width = max(len(r) for r in unique_reads)
     right, lens = encode_batch(unique_reads, width=width, align="right")
     left, _ = encode_batch(unique_reads, width=width, align="left")
-    ia = np.fromiter((p[0] for p in pairs), np.int32, len(pairs))
-    ib = np.fromiter((p[1] for p in pairs), np.int32, len(pairs))
+    n = len(ia)
     n_dev = mesh.devices.size
-    n_pad = (-len(pairs)) % n_dev
+    n_pad = (-n) % n_dev
     if n_pad:
         ia = np.concatenate([ia, np.zeros(n_pad, np.int32)])
         ib = np.concatenate([ib, np.zeros(n_pad, np.int32)])
-    s, e = sharded_overlap_scores(
-        mesh,
-        jnp.asarray(right[ia]), jnp.asarray(lens[ia]),
-        jnp.asarray(left[ib]), jnp.asarray(lens[ib]),
-        axis=axis)
-    n = len(pairs)
+    # ship the U-row read tensors once (replicated) + 8 bytes per pair of
+    # indices; operand rows are gathered device-side inside shard_map
+    s, e = sharded_overlap_scores_indexed(
+        mesh, jnp.asarray(right), jnp.asarray(left), jnp.asarray(lens),
+        jnp.asarray(ia), jnp.asarray(ib), axis=axis)
     return (np.asarray(jax.device_get(s), np.int32)[:n],
             np.asarray(jax.device_get(e), np.int32)[:n])
 
@@ -147,30 +190,18 @@ def distributed_build_overlap_graph(mesh: Mesh, reads: list[str], k: int = 5,
     -> host edge fanout. Produces an OverlapGraph whose edge list is
     bit-identical to `graph.build.build_overlap_graph` on any mesh size.
     """
-    from ..graph.build import OverlapGraph, candidate_pairs, dedup_reads
+    from ..graph.build import (OverlapGraph, candidate_pairs_arrays,
+                               dedup_reads, fanout_edges)
 
     unique, counts = dedup_reads(reads)
     offsets = np.zeros(len(unique) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    pairs = candidate_pairs(unique, k)
-    scores, ends = distributed_score_pairs(mesh, unique, pairs, axis=axis)
-
-    src_l, dst_l, w_l, e_l = [], [], [], []
-    for idx, (ua, ub) in enumerate(pairs):
-        w, ep = int(scores[idx]), int(ends[idx])
-        base_a, base_b = int(offsets[ua]), int(offsets[ub])
-        for ca in range(int(counts[ua])):
-            for cb in range(int(counts[ub])):
-                src_l.append(base_a + ca)
-                dst_l.append(base_b + cb)
-                w_l.append(w)
-                e_l.append(ep)
-    return OverlapGraph(
-        unique_reads=unique, counts=counts, offsets=offsets,
-        src=np.array(src_l, dtype=np.int32),
-        dst=np.array(dst_l, dtype=np.int32),
-        weight=np.array(w_l, dtype=np.int32),
-        end_pos=np.array(e_l, dtype=np.int32))
+    ia, ib = candidate_pairs_arrays(unique, k)
+    scores, ends = distributed_score_pairs(mesh, unique, (ia, ib), axis=axis)
+    src, dst, weight, end_pos = fanout_edges(ia, ib, scores, ends,
+                                             counts, offsets)
+    return OverlapGraph(unique_reads=unique, counts=counts, offsets=offsets,
+                        src=src, dst=dst, weight=weight, end_pos=end_pos)
 
 
 def distributed_assemble_contigs(mesh: Mesh, reads: list[str], k: int = 5,

@@ -138,3 +138,36 @@ def test_calculate_measures_parity(seed):
         contigs, reads, len(reads), 30, 0.01, 3, genome, "t", 1, "p")
     ref_measures, _ = _ref_measures(contigs, genome, 30)
     assert measures == ref_measures
+
+
+@pytest.mark.parametrize("device", [True, False])
+def test_coverage_mismatch_vectorized_parity(device):
+    """The vectorized scatter scan (device and numpy variants) must be
+    bit-equal to the reference's per-column Python loop."""
+    from genome_assembly_tpu.metrics.measures import (
+        _coverage_and_mismatch_python,
+        coverage_and_mismatch_vectors,
+    )
+
+    r = random.Random(777)
+    genome = random_dna(r, 400)
+    details = {}
+    for i in range(60):
+        start = r.randint(0, 390)
+        end = min(400, start + r.randint(0, 60))
+        span = end - start
+        ar = random_dna(r, span + r.randint(0, 4))
+        # query with random matches, mismatches and '-' columns
+        aq = "".join(
+            ar[j] if r.random() < 0.7 else ("-" if r.random() < 0.3
+                                            else r.choice("ACGT"))
+            for j in range(len(ar)))
+        details[f"c{i}"] = {"Start Position": start, "End Position": end,
+                            "Alignment_reference": ar, "Alignment_query": aq}
+    # unaligned contigs are skipped
+    details["miss"] = {"Start Position": -1, "End Position": -1,
+                       "Alignment_reference": "", "Alignment_query": ""}
+    cov_ref, mm_ref = _coverage_and_mismatch_python(details, 400)
+    cov, mm = coverage_and_mismatch_vectors(details, 400, device=device)
+    np.testing.assert_array_equal(cov, cov_ref)
+    np.testing.assert_array_equal(mm, mm_ref)
