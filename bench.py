@@ -96,10 +96,20 @@ def main():
                 for i in range(REP)]
     jax.block_until_ready(variants)
     int(f(variants[0], ld))  # compile
-    acc = jnp.int32(0)       # warm pass: first touch of each buffer and
-    for c in variants:       # of the executable's steady state is slow
-        acc = acc + f(c, ld)  # under the tunnel (~20x) — not steady-state
-    int(acc)
+    # warm to steady state: under the tunnel the executable keeps speeding
+    # up over the first rounds (first buffer touches, program streaming);
+    # warm until two consecutive rounds agree within 10%
+    prev = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        acc = jnp.int32(0)
+        for c in variants:
+            acc = acc + f(c, ld)
+        int(acc)
+        warm_dt = (time.perf_counter() - t0) / REP
+        if warm_dt > 0.9 * prev:
+            break
+        prev = warm_dt
 
     t0 = time.perf_counter()
     acc = jnp.int32(0)

@@ -25,19 +25,28 @@ def _default_fasta() -> str:
 
 
 def cmd_assemble(args) -> int:
+    import contextlib
+
     from .experiments.runner import test_assembly
     from .simulate import read_genome_from_fasta
+    from .utils.tracing import global_tracer, profile
 
     genome = read_genome_from_fasta(args.fasta)
     rng = random.Random(args.seed) if args.seed is not None else None
     np_rng = (np.random.RandomState(args.seed)
               if args.seed is not None else None)
-    contigs, measures, _, _ = test_assembly(
-        genome, args.l, args.n, args.p, args.k, args.name, 1,
-        path=args.plots, rng=rng, np_rng=np_rng, verbose=args.verbose)
+    prof = (profile(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        contigs, measures, _, _ = test_assembly(
+            genome, args.l, args.n, args.p, args.k, args.name, 1,
+            path=args.plots, rng=rng, np_rng=np_rng, verbose=args.verbose)
     print(f"contigs: {len(contigs)}")
     for name, value in measures.items():
         print(f"{name}: {value}")
+    if args.trace or args.verbose:
+        print("\n-- stage trace --")
+        print(global_tracer().report())
     return 0
 
 
@@ -77,6 +86,10 @@ def main(argv=None) -> int:
     pa.add_argument("--name", default="cli")
     pa.add_argument("--plots", default="plots")
     pa.add_argument("--verbose", action="store_true")
+    pa.add_argument("--trace", action="store_true",
+                    help="print the per-stage wall-time/throughput table")
+    pa.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace to DIR")
     pa.set_defaults(fn=cmd_assemble)
 
     pe = sub.add_parser("experiments", help="run the 3-experiment sweep")

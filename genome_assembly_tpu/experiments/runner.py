@@ -22,6 +22,7 @@ from ..metrics.measures import calculate_measures
 from ..models.overlap_graph import assemble_contigs_using_overlap_graphs
 from ..simulate.errors import generate_error_prone_reads
 from ..simulate.reads import generate_error_free_reads
+from ..utils.tracing import stage
 
 
 def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
@@ -32,8 +33,10 @@ def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
                   verbose: bool = False):
     """Run one assembly simulation; returns
     (contigs, measures, contigs_alignment_details, error_prone_reads)."""
-    error_free = generate_error_free_reads(genome, l, N, rng=rng)
-    error_prone = generate_error_prone_reads(error_free, error_prob, rs=np_rng)
+    with stage("simulate.reads", items=N):
+        error_free = generate_error_free_reads(genome, l, N, rng=rng)
+        error_prone = generate_error_prone_reads(error_free, error_prob,
+                                                 rs=np_rng)
 
     params = {"N": N, "l": l, "k": k, "error_prob": error_prob,
               "experiment_name": experiment_name, "num_iteration": num_iteration}
@@ -41,10 +44,11 @@ def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
         error_prone, k=k, params=params, device=device, use_native=use_native,
         verbose=verbose)
 
-    measures, details = calculate_measures(
-        contigs, error_prone, len(error_prone), l, error_prob, k, genome,
-        experiment_name, num_iteration, path, plot_hooks=plot_hooks,
-        verbose=verbose)
+    with stage("metrics.calculate", items=len(contigs)):
+        measures, details = calculate_measures(
+            contigs, error_prone, len(error_prone), l, error_prob, k, genome,
+            experiment_name, num_iteration, path, plot_hooks=plot_hooks,
+            verbose=verbose)
     return contigs, measures, details, error_prone
 
 

@@ -164,8 +164,18 @@ def score_pairs(unique_reads: list[str], pairs,
     Dense candidate sets (k=0 all-pairs, or >=5% of U^2) use the fused
     all-pairs Pallas kernel (ops/overlap_allpairs.py) and gather the
     requested entries; sparse sets batch through the chunked pair kernel.
+
+    Feeds the global tracer's "score.pairs" stage (pairs/s — the
+    BASELINE.json headline counter).
     """
+    from ..utils.tracing import stage
+
     ia, ib = _pairs_to_arrays(pairs)
+    with stage("score.pairs", items=len(ia)):
+        return _score_pairs_impl(unique_reads, ia, ib, chunk, device)
+
+
+def _score_pairs_impl(unique_reads: list[str], ia, ib, chunk, device):
     n_pairs = len(ia)
     if n_pairs == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)

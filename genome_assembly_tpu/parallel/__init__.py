@@ -4,8 +4,17 @@ from .mesh import (
     make_mesh_2d,
     make_mesh_hosts_chips,
 )
+from .pipeline import (
+    pipelined_score_filter,
+    score_filter_unpipelined,
+)
+from .seqpar import (
+    local_align_batch_seqpar,
+    traceback_host_seqpar,
+)
 from .sharded import (
     all_pairs_block_scores,
+    sharded_overlap_scores_indexed,
     all_pairs_block_scores_2d,
     distributed_assemble_contigs,
     distributed_build_overlap_graph,
@@ -19,11 +28,16 @@ __all__ = [
     "make_mesh",
     "make_mesh_2d",
     "make_mesh_hosts_chips",
+    "pipelined_score_filter",
+    "score_filter_unpipelined",
+    "local_align_batch_seqpar",
+    "traceback_host_seqpar",
     "all_pairs_block_scores",
     "all_pairs_block_scores_2d",
     "distributed_assemble_contigs",
     "distributed_build_overlap_graph",
     "distributed_score_pairs",
     "sharded_overlap_scores",
+    "sharded_overlap_scores_indexed",
     "sharded_pipeline_step",
 ]

@@ -52,9 +52,14 @@ def init_distributed(coordinator_address: str | None = None,
     # Only skip when actually initialised; a genuine bring-up failure
     # (bad coordinator address, port clash, timeout) must propagate —
     # swallowing it would silently degrade a pod run to single-host.
-    state = getattr(jax.distributed, "global_state", None)
-    if state is not None and getattr(state, "client", None) is not None:
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
         return  # already initialised
+    try:
+        from jax._src.distributed import global_state as _state
+        if getattr(_state, "client", None) is not None:
+            return  # already initialised (older JAX without is_initialized)
+    except ImportError:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -1,0 +1,184 @@
+"""Sequence-parallel Smith-Waterman: the genome axis sharded across chips.
+
+SURVEY.md §5 (long-context row) calls for "ring-pass genome blocks across
+chips during the contig→genome local alignment" — the ring-attention-style
+sequence/context-parallel analog. This module implements it exactly (not
+approximately): the reference axis of the row-scan SW kernel
+(ops/smith_waterman.py) is block-sharded over a mesh axis, and each DP row
+is completed with two O(B) neighbour/collective exchanges that ride ICI:
+
+- a `ppermute` halo: cell (i, j) needs dp[i-1][j-1] and dp[i][j-1]; the
+  first column of each block gets them from the left neighbour's last
+  column (device 0 reads the dp[·][0] = 0 boundary).
+- a cross-block prefix-max carry: the intra-row left chain
+  dp[i][j] = max(..., dp[i][j-1] + indel) is a max-plus prefix scan,
+  cummax(key)[j] + indel·j with key = c0[j] - indel·j (see
+  ops/smith_waterman.py). cummax distributes: each block computes its
+  local cummax, `all_gather`s its block total, and folds in the max of
+  all left-of-it blocks — an exclusive max-scan over the device axis.
+
+Best-cell selection reproduces the reference's row-major first-strict-max
+(aligners.py:135-137) globally: per row, block maxima are all_gathered and
+the FIRST block attaining the global max contributes its FIRST in-block
+argmax. Traceback codes stay sharded — each device stores only its
+(n, B, G/D) slice, which is the long-context memory win.
+
+Bit-for-bit identical to `local_align_batch` on a replicated genome (the
+parity test runs both on an 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+# plain int: a module-level jnp scalar would initialise the XLA backend at
+# import time, which breaks jax.distributed.initialize in worker processes
+NEG = -(2**28)
+
+
+def _seqpar_body(queries, q_len, genome_blk, g_len, *, axis: str,
+                 match_score: int, mismatch: int, indel: int):
+    """Per-device body. queries (B, n_pad) replicated; genome_blk (Gb,)
+    this device's genome block; g_len scalar true genome length."""
+    B, n_pad = queries.shape
+    gb = genome_blk.shape[0]
+    d = jax.lax.axis_index(axis)
+    n_dev = jax.lax.axis_size(axis)
+    off = d.astype(jnp.int32) * gb
+    jglob = off + 1 + jnp.arange(gb, dtype=jnp.int32)            # (Gb,) 1-based
+    valid_j = (jglob <= g_len)[None, :]                          # (1, Gb)
+    neg_indel = jnp.int32(-indel)
+    ref_chars = genome_blk[None, :]                              # (1, Gb)
+    # exclusive left-of-me mask over the device axis, for the carry fold
+    dev_ids = jnp.arange(n_dev, dtype=jnp.int32)
+    left_of_me = (dev_ids < d)[:, None]                          # (D, 1)
+    perm = [(i, i + 1) for i in range(n_dev - 1)]                # send right
+
+    def step(carry, i):
+        prev, best, bi, bj = carry                               # prev (B, Gb)
+        qc = jax.lax.dynamic_slice_in_dim(queries, i - 1, 1, axis=1)  # (B, 1)
+        sub = jnp.where(ref_chars == qc, match_score,
+                        mismatch).astype(jnp.int32)              # (B, Gb)
+        # halo: dp[i-1][j-1] for the first local column comes from the left
+        # neighbour's last column (device 0: the dp[·][0] = 0 boundary,
+        # which is exactly ppermute's zero fill for non-receivers)
+        halo_prev = jax.lax.ppermute(prev[:, -1], axis, perm)    # (B,)
+        diag = jnp.concatenate([halo_prev[:, None], prev[:, :-1]],
+                               axis=1) + sub
+        up = prev + indel
+        c0 = jnp.maximum(jnp.maximum(diag, up), 0)
+        c0 = jnp.where(valid_j, c0, 0)                           # beyond G -> 0
+        # distributed max-plus prefix scan for the left chain
+        key = c0 + neg_indel * jglob[None, :]
+        run = jax.lax.cummax(key, axis=1)                        # local cummax
+        tmax = run[:, -1]                                        # block total
+        totals = jax.lax.all_gather(tmax, axis)                  # (D, B)
+        cin = jnp.max(jnp.where(left_of_me, totals, NEG), axis=0)  # (B,)
+        row = jnp.maximum(run, cin[:, None]) - neg_indel * jglob[None, :]
+        # left = dp[i][j-1] + indel; first local column needs this row's halo
+        halo_row = jax.lax.ppermute(row[:, -1], axis, perm)
+        left = jnp.concatenate([halo_row[:, None], row[:, :-1]],
+                               axis=1) + indel
+        # exact reference cascade (aligners.py:122-132)
+        code = jnp.where(
+            (diag >= up) & (diag >= left) & (diag >= 0), jnp.uint8(1),
+            jnp.where((up >= left) & (up >= 0), jnp.uint8(2),
+                      jnp.where(left >= 0, jnp.uint8(3), jnp.uint8(0))))
+        code = jnp.where(row > 0, code, jnp.uint8(0))
+        code = jnp.where(valid_j, code, jnp.uint8(0))
+        # global first-strict-max in row-major order: first block attaining
+        # the row's global max contributes its first in-block argmax
+        row_masked = jnp.where(valid_j, row, -1)
+        l_arg = jnp.argmax(row_masked, axis=1).astype(jnp.int32)  # (B,)
+        l_max = jnp.take_along_axis(row_masked, l_arg[:, None], axis=1)[:, 0]
+        maxes = jax.lax.all_gather(l_max, axis)                  # (D, B)
+        args = jax.lax.all_gather(l_arg, axis)                   # (D, B)
+        g_max = jnp.max(maxes, axis=0)                           # (B,)
+        d_first = jnp.argmax(maxes == g_max[None, :],
+                             axis=0).astype(jnp.int32)           # (B,)
+        j_best = (d_first * gb + 1
+                  + jnp.take_along_axis(args, d_first[None, :],
+                                        axis=0)[0])              # (B,) global j
+        improve = (g_max > best) & (i <= q_len)
+        best = jnp.where(improve, g_max, best)
+        bi = jnp.where(improve, i, bi)
+        bj = jnp.where(improve, j_best, bj)
+        return (row, best, bi, bj), code
+
+    init = (jnp.zeros((B, gb), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32))
+    (_, best, bi, bj), codes = jax.lax.scan(
+        step, init, jnp.arange(1, n_pad + 1, dtype=jnp.int32))
+    # best/bi/bj are identical on every device (computed from all_gathers);
+    # codes stay sharded along the genome axis
+    return best, bi, bj, codes
+
+
+def local_align_batch_seqpar(mesh: Mesh, queries, q_len, genome_codes,
+                             g_len: int, axis: str = "data",
+                             match_score: int = 10, mismatch: int = -1,
+                             indel: int = -1):
+    """Sequence-parallel batched SW against ONE shared reference.
+
+    Args:
+        queries: (B, n_pad) int8 LEFT-aligned.
+        q_len:   (B,) int32.
+        genome_codes: (Gp,) int8, padded so the mesh axis divides Gp.
+        g_len:   true genome length (<= Gp).
+
+    Returns (best, best_i, best_j, codes) exactly like
+    `ops.smith_waterman.local_align_batch` on a replicated genome, except
+    codes has shape (n_pad, B, Gp) (no j=0 column; codes[i-1, b, j-1] is
+    the code of cell (i, j)).
+    """
+    gp = genome_codes.shape[0]
+    n_dev = mesh.shape[axis]
+    assert gp % n_dev == 0, (
+        f"padded genome length {gp} not divisible by mesh axis "
+        f"'{axis}' size {n_dev}")
+
+    body = functools.partial(_seqpar_body, axis=axis,
+                             match_score=match_score, mismatch=mismatch,
+                             indel=indel)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(axis), P()),
+        out_specs=(P(None), P(None), P(None), P(None, None, axis)),
+        check_vma=False)
+    return fn(queries, q_len, genome_codes,
+              jnp.int32(g_len))
+
+
+def traceback_host_seqpar(codes: np.ndarray, best_i: int, best_j: int,
+                          query: str, reference: str):
+    """Traceback over seq-par codes ((n_pad, Gp) for one item, no j=0
+    column). Same contract as ops.smith_waterman.traceback_host."""
+    i, j = int(best_i), int(best_j)
+    aq: list[str] = []
+    ar: list[str] = []
+    while i > 0 and j > 0:
+        code = int(codes[i - 1, j - 1])
+        if code == 1:
+            aq.append(query[i - 1])
+            ar.append(reference[j - 1])
+            i -= 1
+            j -= 1
+        elif code == 2:
+            aq.append(query[i - 1])
+            ar.append("-")
+            i -= 1
+        elif code == 3:
+            aq.append("-")
+            ar.append(reference[j - 1])
+            j -= 1
+        else:
+            break
+    return "".join(reversed(ar)), "".join(reversed(aq)), j

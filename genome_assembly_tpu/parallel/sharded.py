@@ -104,7 +104,8 @@ def all_pairs_block_scores(mesh: Mesh, reads, lengths, axis: str = "data"):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(None, None), P(None)),
-        out_specs=(P(axis, None), P(axis, None)))
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False)  # Pallas out_shape carries no vma annotation
     def _block(a_blk, a_l, b_all, b_l_all):
         return score_fn(a_blk, a_l, b_all, b_l_all)
 
@@ -136,7 +137,8 @@ def all_pairs_block_scores_2d(mesh: Mesh, reads, lengths,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(ai, None), P(ai), P(aj, None), P(aj)),
-        out_specs=(P(ai, aj), P(ai, aj)))
+        out_specs=(P(ai, aj), P(ai, aj)),
+        check_vma=False)  # Pallas out_shape carries no vma annotation
     def _tile(a_blk, a_l, b_blk, b_l):
         return score_fn(a_blk, a_l, b_blk, b_l)
 
@@ -243,7 +245,8 @@ def sharded_pipeline_step(mesh: Mesh, key, genome_codes, read_length: int,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis), P(None)),
-        out_specs=(P(axis, None), P(axis, None), P(None)))
+        out_specs=(P(axis, None), P(axis, None), P(None)),
+        check_vma=False)  # Pallas out_shape carries no vma annotation
     def _step(ks, genome):
         k = ks[0]
         k_reads, k_err = jax.random.split(k)
