@@ -217,4 +217,61 @@ int64_t gc_overlap_baseline_batch(int64_t B, int64_t L, const int8_t* a,
   return B;
 }
 
+// Reference-faithful Smith-Waterman local alignment (reference
+// aligners.py:85-167): dp clamped at 0 via the exact selection cascade
+// (diag >= up >= left, each additionally >= 0; nothing passing -> cell 0),
+// global best tracked with strict > in row-major order (first max wins),
+// traceback from the best cell until a zero cell / matrix edge. Emits the
+// path as a backwards op stream (1=diag, 2=up/gap-in-ref, 3=left/gap-in-
+// query) — the same compact encoding as the TPU kernel's device traceback
+// (ops/smith_waterman.py traceback_device) — so the Python caller rebuilds
+// the aligned strings with the shared replay helper. Characters are int8
+// codes; only equality matters.
+//
+// Used as the fast exact oracle for full-scale parity tests (the pure-
+// Python oracle needs ~0.4 s per 100x5386 contig; this runs it in ~2 ms)
+// and as the reference-side kernel substitution when running the actual
+// reference pipeline at experiment scale.
+int64_t gc_local_align(int64_t n, int64_t m, const int8_t* q, const int8_t* r,
+                       int64_t match, int64_t mismatch, int64_t indel,
+                       int32_t* out_score, int32_t* out_bi, int32_t* out_bj,
+                       uint8_t* ops_out /* capacity >= n + m */) {
+  std::vector<int64_t> prev(m + 1, 0), cur(m + 1, 0);
+  std::vector<uint8_t> tb((n + 1) * (m + 1), 0);
+  const int64_t stride = m + 1;
+  int64_t best = 0, bi = 0, bj = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    cur[0] = 0;
+    const int8_t qi = q[i - 1];
+    uint8_t* tbrow = &tb[i * stride];
+    for (int64_t j = 1; j <= m; ++j) {
+      const int64_t diag = prev[j - 1] + (qi == r[j - 1] ? match : mismatch);
+      const int64_t up = prev[j] + indel;
+      const int64_t left = cur[j - 1] + indel;
+      int64_t v = 0;
+      uint8_t code = 0;
+      if (diag >= up && diag >= left && diag >= 0) { v = diag; code = 1; }
+      else if (up >= left && up >= 0) { v = up; code = 2; }
+      else if (left >= 0) { v = left; code = 3; }
+      cur[j] = v;
+      tbrow[j] = v > 0 ? code : 0;  // dp==0 cells stop the traceback
+      if (v > best) { best = v; bi = i; bj = j; }
+    }
+    std::swap(prev, cur);
+  }
+  *out_score = (int32_t)best;
+  *out_bi = (int32_t)bi;
+  *out_bj = (int32_t)bj;
+  int64_t i = bi, j = bj, steps = 0;
+  while (i > 0 && j > 0) {
+    const uint8_t code = tb[i * stride + j];
+    if (code == 0) break;
+    ops_out[steps++] = code;
+    if (code == 1) { --i; --j; }
+    else if (code == 2) { --i; }
+    else { --j; }
+  }
+  return steps;
+}
+
 }  // extern "C"

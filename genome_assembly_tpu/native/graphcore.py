@@ -72,6 +72,20 @@ def _load():
                 np.ctypeslib.ndpointer(np.int32),         # score out
                 np.ctypeslib.ndpointer(np.int32),         # end out
             ]
+            lib.gc_local_align.restype = ctypes.c_longlong
+            lib.gc_local_align.argtypes = [
+                ctypes.c_longlong,                        # n (query)
+                ctypes.c_longlong,                        # m (reference)
+                np.ctypeslib.ndpointer(np.int8),          # q codes (n,)
+                np.ctypeslib.ndpointer(np.int8),          # r codes (m,)
+                ctypes.c_longlong,                        # match
+                ctypes.c_longlong,                        # mismatch
+                ctypes.c_longlong,                        # indel
+                np.ctypeslib.ndpointer(np.int32),         # score out (1,)
+                np.ctypeslib.ndpointer(np.int32),         # bi out (1,)
+                np.ctypeslib.ndpointer(np.int32),         # bj out (1,)
+                np.ctypeslib.ndpointer(np.uint8),         # ops out (n+m,)
+            ]
             _LIB = lib
         except OSError:
             _LIB = None
@@ -93,6 +107,33 @@ def remove_cycles(g) -> int:
         g.num_nodes, len(src), src, dst, weight, alive)
     g.alive[:] = alive.astype(bool)
     return int(removed)
+
+
+def local_align(query: str, reference: str, match_score: int = 10,
+                mismatch: int = -1, indel: int = -1):
+    """C++ Smith-Waterman with reference semantics (aligners.py:85-167).
+
+    Returns (aligned_ref, aligned_query, score, start, end) like the
+    Python oracle (ops/oracle.py local_align_oracle), ~200x faster.
+    """
+    from ..core.encoding import encode
+    from ..ops.smith_waterman import replay_ops_host
+
+    lib = _load()
+    n, m = len(query), len(reference)
+    if n == 0 or m == 0:
+        return "", "", 0, 0, 0
+    q = np.ascontiguousarray(encode(query), dtype=np.int8)
+    r = np.ascontiguousarray(encode(reference), dtype=np.int8)
+    score = np.zeros(1, np.int32)
+    bi = np.zeros(1, np.int32)
+    bj = np.zeros(1, np.int32)
+    ops = np.zeros(n + m, np.uint8)
+    steps = lib.gc_local_align(n, m, q, r, match_score, mismatch, indel,
+                               score, bi, bj, ops)
+    ar, aq, start = replay_ops_host(ops[:steps], int(bi[0]), int(bj[0]),
+                                    query, reference)
+    return ar, aq, int(score[0]), start, int(bj[0])
 
 
 def overlap_baseline_batch(a_codes, a_len, b_codes, b_len, match_score=10,

@@ -59,8 +59,23 @@ def main():
         }
         rows.append(row)
         print(json.dumps(row))
-    with open("DENSE_DEMO.json", "w") as f:
-        json.dump(rows, f, indent=1)
+    # merge with any previous runs (C=10 and C=30 may run as separate
+    # invocations); rows are keyed by (C, platform)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "DENSE_DEMO.json")
+    merged: dict = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                for r in json.load(f):
+                    merged[(r["C"], r.get("platform"))] = r
+        except Exception:
+            pass
+    for r in rows:
+        merged[(r["C"], r.get("platform"))] = r
+    with open(out, "w") as f:
+        json.dump(sorted(merged.values(), key=lambda r: (r["platform"], r["C"])),
+                  f, indent=1)
 
 
 if __name__ == "__main__":

@@ -1,16 +1,27 @@
-"""Mosaic compile-time regression guard (VERDICT round 1, weak #1).
+"""Mosaic compile-time regression guard (VERDICT round 1, weak #1; round 2,
+weak #5).
 
 The round-1 all-pairs Pallas kernel hung Mosaic compilation for >9 min at
-N>=128/L=100, which killed the benchmark. The reworked kernel compiles in
-~1 s; this test pins that property: a fresh process (persistent compile
-cache disabled) must compile AND run the N=1024/L=100 sweep on the real
-TPU within a hard wall. Skipped when no TPU is attached (CI meshes are
-virtual CPU devices).
+N>=128/L=100, which killed the benchmark; round 2's kernel compiled the
+N=1024 bench shape in ~1 s but still hung on the dense-demo shapes
+(N=539 -> mpad=768/npad=640 tiles — the round-2 on-TPU dense-demo stall).
+This test pins both properties: a fresh process (persistent compile cache
+disabled) must compile AND EXECUTE the N=1024 bench sweep and the N=539
+dense-demo sweep on the real TPU within a hard wall.
+
+Two round-3 hardenings:
+- the probe fetches a value (`int(s.sum())`) — under the lazy axon tunnel
+  `block_until_ready` does not force execution, so the round-2 guard never
+  actually exercised the compile it guarded;
+- a probe timeout FAILS (after one retry) instead of skipping: a wedged or
+  busy chip is precisely the failure class this guard exists for (ADVICE
+  round 2). Only a genuine "no TPU backend" skips.
 """
 
 import os
 import subprocess
 import sys
+import time
 
 import pytest
 
@@ -28,31 +39,34 @@ import jax.numpy as jnp
 from genome_assembly_tpu.ops.overlap_allpairs import overlap_scores_all_pairs
 
 rng = np.random.default_rng(0)
-codes = rng.integers(0, 4, (1024, 100)).astype(np.int8)
-lens = np.full((1024,), 100, np.int32)
-t0 = time.perf_counter()
-s, e = overlap_scores_all_pairs(jnp.asarray(codes), jnp.asarray(lens))
-jax.block_until_ready((s, e))
-print("COMPILE_SECONDS", round(time.perf_counter() - t0, 2))
+for n in (1024, 539):  # bench shape + dense-demo shape (round-2 stall)
+    codes = rng.integers(0, 4, (n, 100)).astype(np.int8)
+    lens = np.full((n,), 100, np.int32)
+    t0 = time.perf_counter()
+    s, e = overlap_scores_all_pairs(jnp.asarray(codes), jnp.asarray(lens))
+    v = int(s.sum()) + int(e.sum())  # forces compile AND execution
+    print(f"COMPILE_SECONDS n={n}", round(time.perf_counter() - t0, 2))
 """
 
-COMPILE_WALL_SECONDS = 120  # round-1 regression was >540 s; healthy is ~2 s
+COMPILE_WALL_SECONDS = 30  # per shape; round-1 regression was >540 s
 
 
-def _tpu_attached() -> bool:
-    # the axon plugin exposes the tunneled chip in a fresh process that
-    # does NOT force JAX_PLATFORMS=cpu (tests/conftest.py forces it here)
+def _backend_probe():
+    """Returns ('tpu'|'cpu'|'timeout'|'error', detail)."""
     try:
         probe = subprocess.run(
             [sys.executable, "-c",
              "import jax; print(jax.default_backend())"],
             capture_output=True, text=True, timeout=120,
             env=_clean_env())
-    except (subprocess.TimeoutExpired, OSError):
-        # tunnel bring-up can exceed the probe wall when the chip is busy
-        # (e.g. another process holds it) — treat as "not attached" and skip
-        return False
-    return probe.returncode == 0 and probe.stdout.strip() in ("tpu", "axon")
+    except subprocess.TimeoutExpired:
+        return "timeout", "backend probe exceeded 120 s"
+    except OSError as e:
+        return "error", str(e)
+    if probe.returncode != 0:
+        return "error", probe.stderr[-500:]
+    backend = probe.stdout.strip()
+    return ("tpu" if backend in ("tpu", "axon") else "cpu"), backend
 
 
 def _clean_env():
@@ -63,19 +77,42 @@ def _clean_env():
     return env
 
 
-@pytest.mark.skipif(not _tpu_attached(), reason="no TPU attached")
 def test_allpairs_pallas_compiles_within_wall():
-    proc = subprocess.run(
-        [sys.executable, "-c", _PROBE, REPO],
-        capture_output=True, text=True,
-        timeout=COMPILE_WALL_SECONDS + 180,  # slack for process/plugin start
-        env=_clean_env())
+    status, detail = _backend_probe()
+    if status == "timeout":
+        # one retry: transient tunnel bring-up contention is common when
+        # another local process briefly holds the chip
+        time.sleep(30)
+        status, detail = _backend_probe()
+    if status == "cpu":
+        pytest.skip("no TPU backend (CPU-only environment)")
+    if status in ("timeout", "error"):
+        pytest.fail(
+            f"TPU backend probe did not come up ({status}: {detail}) — "
+            f"wedged or persistently held chip; this is the failure class "
+            f"the compile-time guard exists to catch, not a skip")
+
+    wall = 2 * COMPILE_WALL_SECONDS + 180  # 2 shapes + process/plugin start
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE, REPO],
+            capture_output=True, text=True, timeout=wall,
+            env=_clean_env())
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+        pytest.fail(
+            f"Pallas compile+run probe exceeded {wall}s — Mosaic "
+            f"compile/executable hang (round-1/2 regression class). "
+            f"Partial output: {out}")
     assert proc.returncode == 0, proc.stdout + proc.stderr
     if "NO_TPU" in proc.stdout:
-        pytest.skip("subprocess found no TPU")
-    line = [ln for ln in proc.stdout.splitlines()
-            if ln.startswith("COMPILE_SECONDS")][0]
-    seconds = float(line.split()[1])
-    assert seconds < COMPILE_WALL_SECONDS, (
-        f"Pallas all-pairs compile took {seconds}s — Mosaic compile-time "
-        f"regression (round-1 bug was >540s)")
+        pytest.fail("subprocess found no TPU although the backend probe did")
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("COMPILE_SECONDS")]
+    assert len(lines) == 2, proc.stdout
+    for line in lines:
+        seconds = float(line.split()[-1])
+        assert seconds < COMPILE_WALL_SECONDS, (
+            f"{line}: exceeded the {COMPILE_WALL_SECONDS}s wall — Mosaic "
+            f"compile-time regression (round-1 bug was >540s)")
