@@ -1,11 +1,31 @@
 """De-correlated oracle tests.
 
 The reference validates its kernels against Biopython's C PairwiseAligner
-(aligners.py:205-274). Biopython is not in this image, so:
+(aligners.py:205-274). Biopython and parasail are not in this image (and
+the environment has no network egress to install them), so the external
+anchor is provided three ways:
 
 1. `test_biopython_differential` runs IF biopython (or parasail) is ever
    installed — opt-in third-party differential (VERDICT round 1, #9).
-2. `test_cpp_full_dp_vs_device_nogap` is always on: the C++ engine's FULL
+2. ALWAYS-ON third-party differentials against the C `Levenshtein` /
+   `rapidfuzz` libraries that ARE in the image (VERDICT round 2, #6):
+   - `test_global_nw_vs_levenshtein`: global NW with match=0, mismatch=-1,
+     indel=-1 equals minus the edit distance — an exact identity checked
+     against two independent C implementations.
+   - `test_local_align_vs_weighted_levenshtein`: for Smith-Waterman with
+     (match, mismatch, indel) = (10, -1, -1), the returned score S and the
+     gap-stripped aligned substrings (q', r') satisfy the EXACT identity
+     S == 5*(|q'| + |r'|) - WeightedLev(q', r'; ins=6, del=6, sub=11).
+     Derivation: a global alignment of q', r' with M matches, X mismatches
+     and G gaps has similarity 10M - X - G; substituting
+     M = (|q'|+|r'|-G)/2 - X gives 5(|q'|+|r'|) - 11X - 6G, so maximizing
+     similarity = minimizing the (6,6,11)-weighted edit cost. The SW
+     traceback path is a global alignment of the claimed substrings, and
+     SW's best equals their best global score (if a better global
+     alignment of q', r' existed, its clamped prefix sums would give SW a
+     higher cell — contradiction). rapidfuzz's C weighted Levenshtein is
+     therefore an exact third-party oracle for the production QA aligner.
+3. `test_cpp_full_dp_vs_device_nogap` is always on: the C++ engine's FULL
    overlap DP (native/graphcore.cpp, gaps allowed, int64 gap penalty
    semantics) is an independently-authored implementation of the
    reference recurrence — scoring it with the default indel=-2**31 must
@@ -61,6 +81,81 @@ def test_cpp_full_dp_vs_device_nogap(rng):
                                   jnp.asarray(lb))
     np.testing.assert_array_equal(np.asarray(s_dev), s_cpp)
     np.testing.assert_array_equal(np.asarray(e_dev), e_cpp)
+
+
+def test_global_nw_vs_levenshtein(rng):
+    """Global NW (match=0, mismatch=-1, indel=-1) == -edit distance, checked
+    against the C `Levenshtein` extension AND rapidfuzz's independent C++
+    implementation. Anchors the recurrence + cascade family shared by all
+    our DP implementations to third-party code (VERDICT round 2, #6)."""
+    import Levenshtein as lev_c
+    from rapidfuzz.distance import Levenshtein as lev_rf
+
+    from genome_assembly_tpu.ops.oracle import global_align_oracle
+
+    cases = []
+    for _ in range(120):
+        s = random_dna(rng, rng.randint(0, 60))
+        t = random_dna(rng, rng.randint(0, 60))
+        if rng.random() < 0.3 and s:  # mutated copies: near-duplicates
+            t = list(s)
+            for _ in range(rng.randint(1, 5)):
+                op = rng.random()
+                pos = rng.randrange(len(t)) if t else 0
+                if op < 0.4 and t:
+                    t[pos] = random_dna(rng, 1)
+                elif op < 0.7 and t:
+                    del t[pos]
+                else:
+                    t.insert(pos, random_dna(rng, 1))
+            t = "".join(t)
+        cases.append((s, t))
+    cases += [("", ""), ("A", ""), ("", "ACGT"), ("ACGT", "ACGT")]
+    for s, t in cases:
+        ours = -global_align_oracle(s, t, match_score=0, mismatch=-1,
+                                    indel=-1)
+        assert ours == lev_c.distance(s, t), (s, t)
+        assert ours == lev_rf.distance(s, t), (s, t)
+
+
+def test_local_align_vs_weighted_levenshtein(rng):
+    """Exact third-party differential for the production Smith-Waterman
+    semantics (reference aligners.py:85-167) via the weighted-Levenshtein
+    identity in the module docstring. Covers the reference's case-family
+    shapes: random noise, planted exact hits, mutated hits, tail windows."""
+    from rapidfuzz.distance import Levenshtein as lev_rf
+
+    from genome_assembly_tpu.ops.oracle import local_align_oracle
+
+    def check(q, ref):
+        aligned_r, aligned_q, score, start, end = local_align_oracle(q, ref)
+        q_sub = aligned_q.replace("-", "")
+        r_sub = aligned_r.replace("-", "")
+        assert r_sub == ref[start:end], (q, ref)
+        expected = 5 * (len(q_sub) + len(r_sub)) - lev_rf.distance(
+            q_sub, r_sub, weights=(6, 6, 11))
+        assert score == expected, (q, ref, score, expected)
+
+    for _ in range(80):
+        ref = random_dna(rng, rng.randint(20, 160))
+        q = random_dna(rng, rng.randint(5, 60))
+        roll = rng.random()
+        if roll < 0.35 and len(ref) > len(q):  # planted exact substring
+            pos = rng.randint(0, len(ref) - len(q))
+            q = ref[pos:pos + len(q)]
+        elif roll < 0.7 and len(ref) > len(q):  # mutated planted hit
+            pos = rng.randint(0, len(ref) - len(q))
+            q = list(ref[pos:pos + len(q)])
+            for _ in range(rng.randint(1, max(1, len(q) // 10))):
+                p2 = rng.randrange(len(q))
+                if rng.random() < 0.5:
+                    q[p2] = random_dna(rng, 1)
+                elif len(q) > 2:
+                    del q[p2]
+            q = "".join(q)
+        check(q, ref)
+    check("", "ACGT")
+    check("ACGT", "ACGT")
 
 
 @pytest.mark.skipif(not (_HAS_BIOPYTHON or _HAS_PARASAIL),
