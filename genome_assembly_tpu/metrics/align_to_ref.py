@@ -53,10 +53,19 @@ def align_read_or_contig_to_reference(read_or_contig: str, reference_genome: str
 def align_contigs_to_reference(contigs: list[str], reference_genome: str,
                                read_length: int, match_score: int = 10,
                                mismatch: int = -1, indel: int = -1,
-                               max_batch: int = 128) -> dict:
+                               max_batch: int = 128, banded: bool = False,
+                               band: int = 64, seed_k: int = 15) -> dict:
     """Align contigs to the genome; returns {contig: details} in
     first-occurrence order (duplicates collapse, dict-key semantics of
-    performanceMeasures.py:219-230)."""
+    performanceMeasures.py:219-230).
+
+    `banded=True` (opt-in; VERDICT round 2, #8) routes full-genome-window
+    contigs through the diagonal-banded kernel: a host k-mer vote seeds
+    the center diagonal, the DP runs in a 2*band+1 window, and any contig
+    without a single exact seed k-mer falls back to the full-width path —
+    so PhiX-scale behavior is unchanged by default and identical under
+    the flag whenever the band covers the optimal path. Unlocks genomes
+    where O(contig_len * genome_len) full rows are the wall."""
     import jax.numpy as jnp
 
     genome_len = len(reference_genome)
@@ -67,6 +76,12 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
     unique = [c for c in seen if len(c) > 0]
     empties = [c for c in seen if len(c) == 0]
 
+    banded_items: list[tuple[str, int]] = []                # (contig, d0)
+    if banded:
+        from ..ops.smith_waterman import genome_kmer_index, seed_diagonal
+
+        gidx = genome_kmer_index(reference_genome, seed_k)
+
     # group: (tail-window?, n_bucket, m_bucket) -> [(contig, window, offset)]
     groups: dict[tuple, list[tuple[str, str, int]]] = {}
     for c in unique:
@@ -75,6 +90,11 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
             window = reference_genome[-n:]
             offset = genome_len - n
         else:
+            if banded:
+                d0 = seed_diagonal(c, gidx, genome_len, k=seed_k)
+                if d0 is not None:
+                    banded_items.append((c, d0))
+                    continue
             window = reference_genome
             offset = 0
         key = (_bucket(n), _pad128(len(window)) if offset == 0 else _bucket(len(window)))
@@ -119,6 +139,48 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
                     "Start Position": start + offset,
                     "End Position": end + offset,
                 }
+    # banded batches: grouped by query bucket; the genome rides along once
+    banded_groups: dict[int, list[tuple[str, int]]] = {}
+    for c, d0 in banded_items:
+        banded_groups.setdefault(_bucket(len(c)), []).append((c, d0))
+    if banded_groups:
+        from ..ops.smith_waterman import local_align_batch_banded
+
+        m_pad = _pad128(genome_len)
+        for n_pad, items in banded_groups.items():
+            for lo in range(0, len(items), max_batch):
+                batch = items[lo:lo + max_batch]
+                b_pad = 8
+                while b_pad < len(batch):
+                    b_pad *= 2
+                fill = b_pad - len(batch)
+                qs = [c for c, _ in batch] + [""] * fill
+                d0s = np.array([d for _, d in batch] + [0] * fill, np.int32)
+                q_mat, q_len = encode_batch(qs, width=n_pad)
+                r_mat, r_len = encode_batch(
+                    [reference_genome] * b_pad, width=m_pad)
+                best, bi, bj, ops, _ = local_align_batch_banded(
+                    jnp.asarray(q_mat), jnp.asarray(q_len),
+                    jnp.asarray(r_mat), jnp.asarray(r_len),
+                    jnp.asarray(d0s), band, match_score=match_score,
+                    mismatch=mismatch, indel=indel)
+                best = np.asarray(best)
+                bi = np.asarray(bi)
+                bj = np.asarray(bj)
+                ops = np.asarray(ops)
+                for idx, (c, _) in enumerate(batch):
+                    ar, aq, start = replay_ops_host(
+                        ops[:, idx], bi[idx], bj[idx], c, reference_genome)
+                    to_print = (f"\nTarget:   {ar}\n          "
+                                f"{'|' * len(ar)}\nQuery:    {aq}")
+                    details[c] = {
+                        "Print": to_print,
+                        "Alignment_reference": ar,
+                        "Alignment_query": aq,
+                        "Alignment Score": int(best[idx]),
+                        "Start Position": start,
+                        "End Position": int(bj[idx]),
+                    }
     for c in empties:
         details[c] = {
             "Print": "\nTarget:   \n          \nQuery:    ",

@@ -171,6 +171,139 @@ def local_align_batch_ops(queries: jax.Array, q_len: jax.Array,
     return best, bi, bj, ops, start_j
 
 
+@functools.partial(jax.jit, static_argnames=("band", "match_score",
+                                             "mismatch", "indel"))
+def local_align_batch_banded(queries: jax.Array, q_len: jax.Array,
+                             refs: jax.Array, r_len: jax.Array,
+                             d0: jax.Array, band: int,
+                             match_score: int = 10, mismatch: int = -1,
+                             indel: int = -1):
+    """Banded batched local alignment + device traceback (SURVEY §5
+    long-context item b; VERDICT round 2, next-step #8).
+
+    Restricts the Smith-Waterman DP to the diagonal band
+    |j - i - d0| <= band around a per-item center diagonal `d0` (from
+    `seed_diagonal`, k-mer vote). Because SW cells are clamped at 0, the
+    out-of-band boundary behaves exactly like a fresh local-alignment
+    start: diagonal moves into the band read in-band predecessors only,
+    and edge gap moves from outside (masked to -inf) could never win
+    against the 0 clamp anyway — so this is precisely full SW restricted
+    to paths inside the band. Banded score <= full score, with equality
+    (score, end, traceback) whenever the optimal path fits in the band.
+
+    Row work and the traceback-code tensor shrink from O(m) to O(band):
+    (n_pad, B, 2*band+1) codes instead of (n_pad, B, m_pad+1) — the
+    enabler for genomes >> PhiX where full-width rows are the wall
+    (reference aligners.py:85-167 scans the full genome per row).
+
+    Args:
+        d0: (B,) int32 — center diagonal (j - i) per item.
+        band: static half-width; band width is 2*band + 1.
+
+    Returns:
+        (best, best_i, best_j, ops, start_j) — global coordinates,
+        same contract as `local_align_batch_ops`.
+    """
+    B, n_pad = queries.shape
+    m_pad = refs.shape[1]
+    wb = 2 * band + 1
+    t = jnp.arange(wb, dtype=jnp.int32)[None, :]                 # (1, wb)
+    neg_indel = jnp.int32(-indel)
+    neg_inf = jnp.int32(-(2**28))
+
+    def step(carry, i):
+        prev, best, bi, bt = carry                               # prev: (B, wb)
+        jlo = d0 - band + i                                      # (B,)
+        j = jlo[:, None] + t                                     # (B, wb) global col
+        valid_j = (j >= 1) & (j <= r_len[:, None]) & (i <= q_len)[:, None]
+        rc = jnp.take_along_axis(
+            refs, jnp.clip(j - 1, 0, m_pad - 1), axis=1)         # (B, wb)
+        qc = jax.lax.dynamic_slice_in_dim(queries, i - 1, 1, axis=1)
+        sub = jnp.where(rc == qc, match_score, mismatch).astype(jnp.int32)
+        diag = prev + sub                                        # prev[t] = dp[i-1][j-1]
+        up = jnp.concatenate([prev[:, 1:],
+                              jnp.full((B, 1), neg_inf)], axis=1) + indel
+        c0 = jnp.maximum(jnp.maximum(diag, up), 0)
+        c0 = jnp.where(valid_j, c0, 0)
+        key = c0 + neg_indel * t
+        run = jax.lax.cummax(key, axis=1)
+        row = run - neg_indel * t                                # dp[i][j] in band
+        left = jnp.concatenate([jnp.full((B, 1), neg_inf),
+                                row[:, :-1]], axis=1) + indel
+        code = jnp.where(
+            (diag >= up) & (diag >= left) & (diag >= 0), jnp.uint8(1),
+            jnp.where((up >= left) & (up >= 0), jnp.uint8(2),
+                      jnp.where(left >= 0, jnp.uint8(3), jnp.uint8(0))))
+        code = jnp.where((row > 0) & valid_j, code, jnp.uint8(0))
+        row = jnp.where(valid_j, row, 0)
+        row_masked = jnp.where(valid_j, row, -1)
+        r_arg = jnp.argmax(row_masked, axis=1).astype(jnp.int32)
+        r_max = jnp.take_along_axis(row_masked, r_arg[:, None], axis=1)[:, 0]
+        improve = r_max > best
+        best = jnp.where(improve, r_max, best)
+        bi = jnp.where(improve, i, bi)
+        bt = jnp.where(improve, r_arg, bt)
+        return (row, best, bi, bt), code
+
+    init = (jnp.zeros((B, wb), jnp.int32), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
+    (_, best, bi, bt), codes = jax.lax.scan(
+        step, init, jnp.arange(1, n_pad + 1, dtype=jnp.int32))
+    hit = best > 0
+    best_j = jnp.where(hit, d0 - band + bi + bt, 0)              # global column
+
+    # band-coordinate walk: diag (1) -> (i-1, t); up (2) -> (i-1, t+1);
+    # left (3) -> (i, t-1). Codes at band edges were masked, so t stays
+    # in range whenever the code is nonzero.
+    lane = jnp.arange(B, dtype=jnp.int32)
+
+    def wstep(carry, _):
+        i, tt, active = carry
+        safe_i = jnp.maximum(i - 1, 0)
+        safe_t = jnp.clip(tt, 0, wb - 1)
+        c = codes[safe_i, lane, safe_t]
+        jg = d0 - band + i + tt
+        c = jnp.where(active & (i > 0) & (jg > 0), c, jnp.uint8(0))
+        i = i - jnp.where((c == 1) | (c == 2), 1, 0).astype(i.dtype)
+        tt = tt + jnp.where(c == 2, 1, 0).astype(tt.dtype) \
+            - jnp.where(c == 3, 1, 0).astype(tt.dtype)
+        active = active & (c != 0)
+        return (i, tt, active), c
+
+    (i_end, t_end, _), ops = jax.lax.scan(
+        wstep, (bi, bt, jnp.ones_like(bi, dtype=bool)),
+        None, length=n_pad + 2 * band)
+    start_j = jnp.where(hit, d0 - band + i_end + t_end, 0)
+    return best, jnp.where(hit, bi, 0), best_j, ops, start_j
+
+
+def seed_diagonal(query: str, genome_index: dict, genome_len: int,
+                  k: int = 15) -> int | None:
+    """Vote the dominant alignment diagonal d = ref_pos - query_pos from
+    exact k-mer hits (host, numpy). Returns None when the query has no
+    k-mer hit at all (caller falls back to full-width alignment)."""
+    n = len(query)
+    if n < k:
+        return None
+    votes: dict[int, int] = {}
+    for u in range(0, n - k + 1):
+        for pos in genome_index.get(query[u:u + k], ()):
+            d = pos - u
+            votes[d] = votes.get(d, 0) + 1
+    if not votes:
+        return None
+    return max(votes.items(), key=lambda kv: (kv[1], -abs(kv[0])))[0]
+
+
+@functools.lru_cache(maxsize=4)
+def genome_kmer_index(genome: str, k: int = 15) -> dict:
+    """{k-mer: (positions...)} over the genome (host, cached per genome)."""
+    idx: dict[str, list[int]] = {}
+    for pos in range(len(genome) - k + 1):
+        idx.setdefault(genome[pos:pos + k], []).append(pos)
+    return {km: tuple(ps) for km, ps in idx.items()}
+
+
 def replay_ops_host(ops_col: np.ndarray, best_i: int, best_j: int,
                     query: str, reference: str):
     """Rebuild the aligned strings from a device op stream.
