@@ -128,7 +128,8 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     mpad = -(-N // 1024) * 1024 if on_tpu else N
     npad = -(-N // 1024) * 1024 if on_tpu else N
-    flops = L * (8 * mpad * npad * lp) + L * 8 * mpad * lp * lp
+    # 3 simplex channels (not 4 one-hot): main contraction + shift matmul
+    flops = L * (6 * mpad * npad * lp) + L * 6 * mpad * lp * lp
     tflops = flops / dt / 1e12
     peak = float(os.environ.get("GA_TPU_PEAK_TFLOPS", "197"))
 

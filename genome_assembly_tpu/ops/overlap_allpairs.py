@@ -10,12 +10,13 @@ better mapping to the systolic array:
 For an overlap end position j, the no-gap overlap score (reference
 `aligners.py:6-82` semantics, SURVEY.md §2.2-C1) of every pair (i, t) is
 
-    matches[i, t] = sum_{u,c} A[i, u, c] * Bshift_j[t, u, c]
+    S[i, t]       = sum_{u,c} A[i, u, c] * Bshift_j[t, u, c]
+    matches[i, t] = (S + min(n_i, j)) / 4          # +-1 simplex channels
     score[i, t]   = (match - mismatch) * matches + mismatch * min(n_i, j)
 
-where A is the one-hot of the RIGHT-aligned source read and Bshift_j is
-the one-hot of the target read shifted so that b[j-d : j] lines up with
-the suffix of a. Per channel c this is a (TM x lp) @ (lp x TN) matmul,
+where A is the 3-channel tetrahedral +-1 encoding (`_simplex_encode`) of
+the RIGHT-aligned source read and Bshift_j is the encoding of the target
+read shifted so that b[j-d : j] lines up with the suffix of a. Per channel c this is a (TM x lp) @ (lp x TN) matmul,
 and the first-max-over-j selection (strict >, reference
 `aligners.py:54-57`) is a running elementwise update that stays
 RESIDENT IN VMEM across the whole j sweep. Nothing of size (Na, Nb, L)
@@ -41,8 +42,10 @@ Implementation notes (hard-won on the current axon/Mosaic toolchain):
   (TM, TN) best/end accumulators are revisited in VMEM. Measured on
   v5e (N=1024, L=100): ~2.1 ms per all-pairs sweep = ~500M pairs/s,
   ~1.8x the XLA-scan twin, compile ~1 s.
-- bf16 one-hot operands with f32 accumulation: exact for counts <= L
-  (Mosaic's s8 dot lowering VMEM-OOMs on this pattern).
+- bf16 +-1 simplex operands (3 channels, `_simplex_encode`) with f32
+  accumulation: exact for counts <= L, and 25% less MXU work than the
+  4-channel one-hot (Mosaic's s8 dot lowering VMEM-OOMs on this
+  pattern, so narrower integer types are not an option).
 
 The rectangular `overlap_scores_block` is the shard_map building block:
 the distributed layer row-shards the pair matrix and each device scores
@@ -85,28 +88,37 @@ def _kernel(a_ref, b_ref, smt_ref, alen_ref, blen_ref, best_ref, end_ref,
         j = jstep * jc + q + 1
         # The alignment shift is applied IN-KERNEL by a (lp x lp) shift
         # matrix selected on the LEADING axis of its stacked tensor via
-        # the BlockSpec index map; the one-hot operands are (4, T, lp)
-        # channel-leading blocks indexed only on the leading axis. Round
-        # 1 packed shifted windows into the lane axis and sliced them
-        # in-kernel, which hung Mosaic compilation for >9 min at N>=128
-        # (VERDICT round 1, weak #1); it also streamed an O(N*L*4L)
-        # precomputed window stack through HBM. This form keeps all
-        # operands tiny and resident, and every in-kernel index is a
-        # static leading-axis pick.
-        matches = jnp.zeros(best_ref.shape, jnp.float32)
-        for c in range(4):
+        # the BlockSpec index map; the simplex-encoded operands are
+        # (3, T, lp) channel-leading blocks indexed only on the leading
+        # axis. Round 1 packed shifted windows into the lane axis and
+        # sliced them in-kernel, which hung Mosaic compilation for
+        # >9 min at N>=128 (VERDICT round 1, weak #1); it also streamed
+        # an O(N*L*4L) precomputed window stack through HBM. This form
+        # keeps all operands tiny and resident, and every in-kernel
+        # index is a static leading-axis pick.
+        #
+        # Channels are the +-1 tetrahedral simplex code (3 per base, see
+        # `_simplex_encode`), not the 4-channel one-hot: per overlap
+        # position the 3-channel dot is +3 on a match and -1 on a
+        # mismatch, so sum S over the window gives the match count as
+        # M = (S + d) / 4 with d = min(n, j) — exactly, in integers.
+        # 25% less MXU work than one-hot for bit-identical results
+        # (VERDICT round 2, next-step #5).
+        ssum = jnp.zeros(best_ref.shape, jnp.float32)
+        for c in range(3):
             # a shifted left by (lp - j): rides the MXU, no lane ops.
             a_sh = jax.lax.dot_general(
                 a_ref[c], smt_ref[q],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,     # MXU acc is 32-bit
             ).astype(jnp.bfloat16)                      # (TM, lp)
-            matches += jax.lax.dot_general(
+            ssum += jax.lax.dot_general(
                 a_sh, b_ref[c],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)     # (TM, TN)
-        matches = matches.astype(jnp.int32)             # exact: counts <= L
         d = jnp.minimum(alen_ref[:, 0:1], j)            # valid cells min(n,j)
+        # S = 4*matches - d, all values exact in f32 (|S| <= 3L)
+        matches = (ssum.astype(jnp.int32) + d) // 4
         score = (match_score - mismatch) * matches + mismatch * d
         # blen arrives as a (1, TN) ROW vector: comparing along lanes. A
         # (TN, 1) column here needs a sublane->lane transpose that blows
@@ -115,6 +127,19 @@ def _kernel(a_ref, b_ref, smt_ref, alen_ref, blen_ref, best_ref, end_ref,
         upd = valid & (score > best_ref[:])             # strict > = first max
         best_ref[:] = jnp.where(upd, score, best_ref[:])
         end_ref[:] = jnp.where(upd, j, end_ref[:])
+
+
+def _simplex_encode(codes: jax.Array) -> jax.Array:
+    """(N, lp) int8 codes -> (3, N, lp) bf16 tetrahedral +-1 channels.
+
+    Bases map to the integer simplex {(1,1,1), (1,-1,-1), (-1,1,-1),
+    (-1,-1,1)} — four vectors with self-dot 3 and pairwise dot -1 — and
+    PAD to the zero vector. All values are exactly representable in
+    bf16, products are +-1, and f32 accumulation of <= 3L terms is
+    exact, so the match count recovered as (S + d)/4 is bit-exact."""
+    lut = jnp.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1],
+                     [0, 0, 0]], dtype=jnp.bfloat16)    # rows: A C G T PAD
+    return jnp.moveaxis(lut[codes], -1, 0)              # (3, N, lp)
 
 
 def _shift_mats_t(lp: int, ljc: int, dtype) -> jax.Array:
@@ -189,12 +214,12 @@ def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
     a_len = jnp.pad(a_len, (0, mpad - na)).astype(jnp.int32)
     b_len = jnp.pad(b_len, (0, npad - nb)).astype(jnp.int32)
 
-    # Channel-leading one-hots (4, N, lp): PAD codes one-hot to zero, so
-    # padding never scores. a is right-aligned (suffix at position lp).
+    # Channel-leading simplex codes (3, N, lp): PAD encodes to the zero
+    # vector, so padding never scores. a is right-aligned (suffix at
+    # position lp).
     a_right = right_align(a_codes, a_len)
-    a3 = jax.nn.one_hot(a_right, 4, dtype=jnp.bfloat16,
-                        axis=0)                          # (4, mpad, lp)
-    b3 = jax.nn.one_hot(b_codes, 4, dtype=jnp.bfloat16, axis=0)
+    a3 = _simplex_encode(a_right)                        # (3, mpad, lp)
+    b3 = _simplex_encode(b_codes)                        # (3, npad, lp)
     smt = _shift_mats_t(lp, ljc, jnp.bfloat16)           # (ljc, lp, lp)
 
     grid = (mpad // tm, npad // tn, lc)
@@ -203,9 +228,9 @@ def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
                           mismatch=mismatch, jc=jc),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((4, tm, lp), lambda i, t, j: (0, i, 0),
+            pl.BlockSpec((3, tm, lp), lambda i, t, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tn, lp), lambda i, t, j: (0, t, 0),
+            pl.BlockSpec((3, tn, lp), lambda i, t, j: (0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((jc, lp, lp), lambda i, t, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -225,10 +250,10 @@ def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
             jax.ShapeDtypeStruct((mpad, npad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * ljc * mpad * npad * 4 * lp
-            + 2 * ljc * (mpad // tm) * (npad // tn) * 4 * tm * lp * lp,
-            bytes_accessed=(npad // tn) * 8 * mpad * lp
-            + (mpad // tm) * 8 * npad * lp + 8 * mpad * npad,
+            flops=2 * ljc * mpad * npad * 3 * lp
+            + 2 * ljc * (mpad // tm) * (npad // tn) * 3 * tm * lp * lp,
+            bytes_accessed=(npad // tn) * 6 * mpad * lp
+            + (mpad // tm) * 6 * npad * lp + 8 * mpad * npad,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
