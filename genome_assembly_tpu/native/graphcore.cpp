@@ -139,9 +139,243 @@ bool find_first_cycle(const Graph& g, Scratch& s, std::vector<int64_t>& cycle) {
   return false;
 }
 
+// ---------------------------------------------------------------------------
+// Incremental cycle removal (round 3).
+//
+// The legacy loop below restarts the whole NetworkX-order edge-DFS after
+// every deletion: O(cycles x E) — 50 s at k=0/C=10 and ~80 min at C=30.
+// Key exactness argument for doing better: `find_first_cycle` returns at the
+// FIRST cycle, so every earlier start-node search that completed cycle-free
+// could not reach any cycle — in particular it never scanned any edge of the
+// cycle eventually found (had a cycle been reachable, that search would have
+// ended the call). Deleting the found cycle's weakest edge therefore leaves
+// every completed search's traversal and explored set bit-identical, and the
+// current search's state up to the weakest edge's scan-point is also
+// untouched by that edge (an edge-DFS scans each edge at most once per
+// search, and the scan advanced the cursor past it already). So: keep an
+// undo log of every scratch mutation, roll state back to the weakest edge's
+// scan-point, mark it dead, and resume the DFS loop — bit-exact with a full
+// restart, but the long prefix of the call is paid once, not per cycle.
+// Found cycles are simple (an active node repeat would have been detected at
+// its first revisit), which is what makes the "never scanned by an earlier
+// completed search" argument airtight for every cycle edge.
+//
+// Cost: one full DFS pass per completed search, plus per removal only the
+// segment between the weakest edge's scan and the cycle detection.
+
+struct IncrementalRemover {
+  const Graph& g;
+  std::vector<int64_t> iter_pos;
+  std::vector<uint32_t> visited_mark, active_mark, explored_mark;
+  std::vector<int32_t> stack;
+  std::vector<int64_t> path;
+  std::vector<int32_t> seen;
+  uint32_t epoch = 0;
+  uint32_t explored_epoch = 0;
+  uint32_t ep = 0;          // current search epoch
+  int64_t start_cursor = 0;
+  int32_t prev_head = -1;
+  bool in_search = false;
+
+  enum Op : uint8_t { ITER, VISIT, ACT, SPUSH, SPOP, PPUSH, PPOP };
+  struct LogE {
+    uint8_t op;
+    int32_t a;     // node (ITER/VISIT/ACT/SPOP)
+    int64_t b;     // old iter_pos (ITER/VISIT) / old mark (ACT) / edge (PPOP)
+    uint32_t c;    // old visited_mark (VISIT)
+  };
+  struct Snap {
+    int64_t log_len, stack_len, path_len, seen_len;
+    int32_t prev_head;
+  };
+  std::vector<LogE> log;
+  std::vector<Snap> snaps;         // parallel to `path`
+  std::vector<Snap> popped_snaps;  // snaps discarded by forward path pops
+
+  explicit IncrementalRemover(const Graph& graph) : g(graph) {
+    iter_pos.assign(g.num_nodes, 0);
+    visited_mark.assign(g.num_nodes, 0);
+    active_mark.assign(g.num_nodes, 0);
+    explored_mark.assign(g.num_nodes, 0);
+    explored_epoch = ++epoch;
+  }
+
+  void set_active(int32_t v, uint32_t val) {
+    log.push_back({ACT, v, (int64_t)active_mark[v], 0});
+    active_mark[v] = val;
+  }
+
+  void begin_search(int64_t start) {
+    ep = ++epoch;
+    stack.clear();
+    path.clear();
+    seen.clear();
+    log.clear();
+    snaps.clear();
+    popped_snaps.clear();
+    prev_head = -1;
+    stack.push_back((int32_t)start);
+    active_mark[start] = ep;  // pre-log-watermark: never rolled back
+    seen.push_back((int32_t)start);
+    in_search = true;
+  }
+
+  // Runs the DFS until a cycle is found (true; state kept for resume) or the
+  // search completes cycle-free (false; explored marks promoted).
+  bool run(std::vector<int64_t>& cycle) {
+    const int64_t start = stack.empty() ? -1 : stack.front();
+    while (!stack.empty()) {
+      int32_t node = stack.back();
+      if (visited_mark[node] != ep) {
+        log.push_back({VISIT, node, iter_pos[node], visited_mark[node]});
+        visited_mark[node] = ep;
+        iter_pos[node] = g.adj_start[node];
+      }
+      int64_t pos = iter_pos[node];
+      const int64_t old_pos = pos;
+      int64_t eidx = -1;
+      const int64_t end = g.adj_start[node + 1];
+      while (pos < end) {
+        int64_t e = g.adj_edges[pos];
+        ++pos;
+        if (g.alive[e]) { eidx = e; break; }
+      }
+      if (pos != old_pos) {
+        log.push_back({ITER, node, old_pos, 0});
+        iter_pos[node] = pos;
+      }
+      if (eidx < 0) {
+        log.push_back({SPOP, node, 0, 0});
+        stack.pop_back();
+        continue;
+      }
+      const int32_t tail = g.src[eidx];
+      const int32_t head = g.dst[eidx];
+      // scan-point snapshot: state BEFORE any processing of edge eidx (the
+      // cursor is already past it, which is exactly the post-deletion state)
+      Snap snap{(int64_t)log.size(), (int64_t)stack.size(),
+                (int64_t)path.size(), (int64_t)seen.size(), prev_head};
+      log.push_back({SPUSH, 0, 0, 0});
+      stack.push_back(head);
+      if (explored_mark[head] == explored_epoch) continue;
+      if (prev_head != -1 && tail != prev_head) {
+        // backtracked: pop path until its last head == tail
+        while (true) {
+          if (path.empty()) {
+            set_active((int32_t)start, 0);
+            set_active(tail, ep);
+            break;
+          }
+          int64_t popped = path.back();
+          log.push_back({PPOP, 0, popped, 0});
+          popped_snaps.push_back(snaps.back());
+          snaps.pop_back();
+          path.pop_back();
+          set_active(g.dst[popped], 0);
+          if (!path.empty() && g.dst[path.back()] == tail) break;
+        }
+      }
+      log.push_back({PPUSH, 0, 0, 0});
+      snaps.push_back(snap);
+      path.push_back(eidx);
+      if (active_mark[head] == ep) {
+        // cycle: trim leading edges before the first occurrence of head
+        size_t i = 0;
+        for (; i < path.size(); ++i)
+          if (g.src[path[i]] == head) break;
+        if (i == path.size()) i = 0;
+        cycle.assign(path.begin() + i, path.end());
+        return true;
+      }
+      seen.push_back(head);
+      set_active(head, ep);
+      prev_head = head;
+    }
+    for (int32_t v : seen) explored_mark[v] = explored_epoch;
+    in_search = false;
+    ++start_cursor;
+    return false;
+  }
+
+  // Restore all scratch state to the scan-point of path entry `i`.
+  void rollback_to(size_t i) {
+    const Snap snap = snaps[i];
+    while ((int64_t)log.size() > snap.log_len) {
+      const LogE e = log.back();
+      log.pop_back();
+      switch (e.op) {
+        case VISIT:
+          iter_pos[e.a] = e.b;
+          visited_mark[e.a] = e.c;
+          break;
+        case ITER: iter_pos[e.a] = e.b; break;
+        case ACT: active_mark[e.a] = (uint32_t)e.b; break;
+        case SPUSH: stack.pop_back(); break;
+        case SPOP: stack.push_back(e.a); break;
+        case PPUSH:
+          path.pop_back();
+          snaps.pop_back();
+          break;
+        case PPOP:
+          path.push_back(e.b);
+          snaps.push_back(popped_snaps.back());
+          popped_snaps.pop_back();
+          break;
+      }
+    }
+    prev_head = snap.prev_head;
+    seen.resize(snap.seen_len);
+  }
+
+  int64_t remove_all(uint8_t* alive) {
+    std::vector<int64_t> cycle;
+    int64_t removed = 0;
+    while (true) {
+      if (!in_search) {
+        while (start_cursor < g.num_nodes &&
+               explored_mark[start_cursor] == explored_epoch)
+          ++start_cursor;
+        if (start_cursor >= g.num_nodes) return removed;
+        begin_search(start_cursor);
+      }
+      if (!run(cycle)) continue;
+      // weakest edge of the cycle, first minimum
+      int64_t weakest = cycle[0];
+      int32_t wmin = g.weight[weakest];
+      for (size_t i = 1; i < cycle.size(); ++i) {
+        if (g.weight[cycle[i]] < wmin) {
+          wmin = g.weight[cycle[i]];
+          weakest = cycle[i];
+        }
+      }
+      // its position in the path (cycle is a path suffix)
+      size_t p = path.size();
+      while (p > 0 && path[p - 1] != weakest) --p;
+      --p;  // path[p] == weakest
+      rollback_to(p);
+      alive[weakest] = 0;
+      ++removed;
+      cycle.clear();
+    }
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+// Incremental-resume variant of gc_remove_cycles: bit-identical removal
+// sequence (see IncrementalRemover), typically orders of magnitude faster on
+// dense graphs. The legacy full-restart implementation is kept below as an
+// independent cross-check.
+int64_t gc_remove_cycles_v2(int64_t num_nodes, int64_t num_edges,
+                            const int32_t* src, const int32_t* dst,
+                            const int32_t* weight, uint8_t* alive) {
+  Graph g{num_nodes, num_edges, src, dst, weight, alive};
+  g.build_adjacency();
+  IncrementalRemover r(g);
+  return r.remove_all(alive);
+}
 
 // Removes cycles by deleting the first-minimum-weight edge of each found
 // cycle until acyclic. Mutates `alive`. Returns the number of edges removed.

@@ -49,8 +49,7 @@ def _load():
     if os.path.exists(path):
         try:
             lib = ctypes.CDLL(path)
-            lib.gc_remove_cycles.restype = ctypes.c_longlong
-            lib.gc_remove_cycles.argtypes = [
+            _cycles_sig = [
                 ctypes.c_longlong,                        # num_nodes
                 ctypes.c_longlong,                        # num_edges
                 np.ctypeslib.ndpointer(np.int32),         # src
@@ -58,6 +57,10 @@ def _load():
                 np.ctypeslib.ndpointer(np.int32),         # weight
                 np.ctypeslib.ndpointer(np.uint8),         # alive (in/out)
             ]
+            lib.gc_remove_cycles.restype = ctypes.c_longlong
+            lib.gc_remove_cycles.argtypes = _cycles_sig
+            lib.gc_remove_cycles_v2.restype = ctypes.c_longlong
+            lib.gc_remove_cycles_v2.argtypes = _cycles_sig
             lib.gc_overlap_baseline_batch.restype = ctypes.c_longlong
             lib.gc_overlap_baseline_batch.argtypes = [
                 ctypes.c_longlong,                        # B
@@ -96,15 +99,21 @@ def available() -> bool:
     return _load() is not None
 
 
-def remove_cycles(g) -> int:
-    """C++ weakest-edge cycle removal; mutates g.alive. Returns #removed."""
+def remove_cycles(g, legacy: bool | None = None) -> int:
+    """C++ weakest-edge cycle removal; mutates g.alive. Returns #removed.
+
+    Uses the incremental-resume engine (gc_remove_cycles_v2 — bit-identical
+    removal sequence, one DFS prefix instead of one per cycle) unless
+    `legacy=True` or GA_TPU_CYCLES_LEGACY=1 forces the full-restart loop."""
     lib = _load()
+    if legacy is None:
+        legacy = os.environ.get("GA_TPU_CYCLES_LEGACY") == "1"
     alive = np.ascontiguousarray(g.alive, dtype=np.uint8)
     src = np.ascontiguousarray(g.src, dtype=np.int32)
     dst = np.ascontiguousarray(g.dst, dtype=np.int32)
     weight = np.ascontiguousarray(g.weight, dtype=np.int32)
-    removed = lib.gc_remove_cycles(
-        g.num_nodes, len(src), src, dst, weight, alive)
+    fn = lib.gc_remove_cycles if legacy else lib.gc_remove_cycles_v2
+    removed = fn(g.num_nodes, len(src), src, dst, weight, alive)
     g.alive[:] = alive.astype(bool)
     return int(removed)
 

@@ -46,3 +46,36 @@ def test_native_on_dense_duplicate_graph():
     remove_cycles_python(g_py)
     graphcore.remove_cycles(g_cc)
     assert (g_cc.alive == g_py.alive).all()
+
+
+def test_incremental_cycle_removal_matches_legacy():
+    """gc_remove_cycles_v2 (incremental-resume DFS, the round-3 speedup for
+    the reference's 48-hour cycle-removal wall) must produce the exact same
+    removal set as the legacy full-restart loop on random dense digraphs.
+    The default remove_cycles path uses v2, so the existing C++-vs-Python
+    NetworkX-order parity tests exercise it too."""
+    import numpy as np
+
+    from genome_assembly_tpu.native import graphcore
+
+    if not graphcore.available():
+        import pytest
+
+        pytest.skip("C++ engine not built")
+    lib = graphcore._load()
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n = int(rng.integers(10, 250))
+        e = int(rng.integers(n, n * n // 3 + n))
+        src = rng.integers(0, n, e).astype(np.int32)
+        dst = rng.integers(0, n, e).astype(np.int32)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        e = len(src)
+        w = rng.integers(-50, 500, e).astype(np.int32)
+        a1 = np.ones(e, np.uint8)
+        a2 = np.ones(e, np.uint8)
+        r1 = lib.gc_remove_cycles(n, e, src, dst, w, a1)
+        r2 = lib.gc_remove_cycles_v2(n, e, src, dst, w, a2)
+        assert r1 == r2
+        np.testing.assert_array_equal(a1, a2)
