@@ -39,9 +39,16 @@ Implementation notes (hard-won on the current axon/Mosaic toolchain):
   column compare against j in-kernel — the sublane->lane transpose
   blows compile time from <1 s to minutes.
 - Grid is (rows/TM, cols/TN, L/JC) with the j axis innermost so the
-  (TM, TN) best/end accumulators are revisited in VMEM. Measured on
-  v5e (N=1024, L=100): ~2.1 ms per all-pairs sweep = ~500M pairs/s,
-  ~1.8x the XLA-scan twin, compile ~1 s.
+  (TM, TN) packed-max accumulator is revisited in VMEM. Measured on
+  v5e (N=1024, L=100, tm=256, jc=10): ~0.5 ms per all-pairs sweep
+  ~= 2.1G pairs/s kernel-resident (~92% of the MXU roofline for the
+  3-channel contraction); dispatch+fetch through the axon tunnel adds
+  ~30 ms per synchronous round trip, amortized across chained sweeps
+  by the bench. Compile ~4 s at jc=10.
+- (score, end) pack into one f32 running max (4*score*1024 + 1023-j),
+  which is order-equivalent to the reference's strict-> first-max
+  tie-break and removes the compare/select cascade from the per-j
+  epilogue (the VPU tail that otherwise bounds the pipeline).
 - bf16 +-1 simplex operands (3 channels, `_simplex_encode`) with f32
   accumulation: exact for counts <= L, and 25% less MXU work than the
   4-channel one-hot (Mosaic's s8 dot lowering VMEM-OOMs on this
@@ -74,15 +81,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(a_ref, b_ref, smt_ref, alen_ref, blen_ref, best_ref, end_ref,
+def _kernel(a_ref, b_ref, smt_ref, alen_ref, blen_ref, best_ref,
             *, match_score: int, mismatch: int, jc: int):
     jstep = pl.program_id(2)
 
     @pl.when(jstep == 0)
     def _():
-        # j=0: empty overlap, score 0 at end 0 (dp[n][0] == 0).
-        best_ref[:] = jnp.zeros_like(best_ref)
-        end_ref[:] = jnp.zeros_like(end_ref)
+        # j=0: empty overlap, score 0 at end 0 (dp[n][0] == 0) encodes as
+        # 0 * 1024 + (1023 - 0).
+        best_ref[:] = jnp.full_like(best_ref, 1023.0)
 
     for q in range(jc):  # static unroll over the block's leading axis
         j = jstep * jc + q + 1
@@ -116,17 +123,26 @@ def _kernel(a_ref, b_ref, smt_ref, alen_ref, blen_ref, best_ref, end_ref,
                 a_sh, b_ref[c],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)     # (TM, TN)
-        d = jnp.minimum(alen_ref[:, 0:1], j)            # valid cells min(n,j)
-        # S = 4*matches - d, all values exact in f32 (|S| <= 3L)
-        matches = (ssum.astype(jnp.int32) + d) // 4
-        score = (match_score - mismatch) * matches + mismatch * d
+        # S = 4*matches - d with d = min(n, j), so
+        #   4*score = (ms - mm)*S + (ms + 3*mm)*d.
+        # (score, end) packs into ONE f32 running max:
+        #   combined = 4*score * 1024 + (1023 - j)
+        # which ranks lexicographically by (score asc, j desc) — a plain
+        # max() therefore reproduces the reference's first-max tie-break
+        # (strict >: ties keep the LOWER j) exactly, with no compare/
+        # select cascade and half the output writes. All values are
+        # exact in f32 (4*score*1024 + 1023 < 2^24 for L <= 400; the
+        # caller asserts L <= 300). Decode happens once outside.
+        d = jnp.minimum(alen_ref[:, 0:1], jnp.float32(j))
+        score4 = jnp.float32(match_score - mismatch) * ssum + \
+            jnp.float32(match_score + 3 * mismatch) * d
+        comb = score4 * 1024.0 + jnp.float32(1023 - j)
         # blen arrives as a (1, TN) ROW vector: comparing along lanes. A
         # (TN, 1) column here needs a sublane->lane transpose that blows
         # Mosaic compile time up from <1 s to ~1 min (and hangs at 512).
-        valid = j <= blen_ref[0:1, :]                   # j beyond len(b): skip
-        upd = valid & (score > best_ref[:])             # strict > = first max
-        best_ref[:] = jnp.where(upd, score, best_ref[:])
-        end_ref[:] = jnp.where(upd, j, end_ref[:])
+        valid = jnp.float32(j) <= blen_ref[0:1, :]      # j beyond len(b): skip
+        comb = jnp.where(valid, comb, jnp.float32(-1.0))
+        best_ref[:] = jnp.maximum(best_ref[:], comb)
 
 
 def _simplex_encode(codes: jax.Array) -> jax.Array:
@@ -136,10 +152,16 @@ def _simplex_encode(codes: jax.Array) -> jax.Array:
     (-1,-1,1)} — four vectors with self-dot 3 and pairwise dot -1 — and
     PAD to the zero vector. All values are exactly representable in
     bf16, products are +-1, and f32 accumulation of <= 3L terms is
-    exact, so the match count recovered as (S + d)/4 is bit-exact."""
-    lut = jnp.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1],
-                     [0, 0, 0]], dtype=jnp.bfloat16)    # rows: A C G T PAD
-    return jnp.moveaxis(lut[codes], -1, 0)              # (3, N, lp)
+    exact, so the match count recovered as (S + d)/4 is bit-exact.
+    Built with fused elementwise compares (a gather + minor-axis
+    transpose costs real prologue time on TPU)."""
+    one = jnp.bfloat16(1)
+    neg = jnp.bfloat16(-1)
+    ch0 = jnp.where(codes < 2, one, neg)
+    ch1 = jnp.where((codes == 0) | (codes == 2), one, neg)
+    ch2 = jnp.where((codes == 0) | (codes == 3), one, neg)
+    enc = jnp.stack([ch0, ch1, ch2], axis=0)            # (3, N, lp)
+    return jnp.where((codes < 4)[None], enc, jnp.bfloat16(0))
 
 
 def _shift_mats_t(lp: int, ljc: int, dtype) -> jax.Array:
@@ -167,7 +189,7 @@ def _shift_mats_t(lp: int, ljc: int, dtype) -> jax.Array:
 def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
                          b_codes: jax.Array, b_len: jax.Array,
                          match_score: int = 10, mismatch: int = -1,
-                         tm: int = 256, tn: int = 1024, jc: int = 1,
+                         tm: int = 256, tn: int = 1024, jc: int = 10,
                          interpret: bool = False):
     """Score the (Na x Nb) block of ordered pairs (a_i, b_t).
 
@@ -186,6 +208,9 @@ def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
     na, l = a_codes.shape
     nb, lb = b_codes.shape
     assert l == lb, "source and target reads must share the padded width"
+    assert l <= 300, (
+        "combined-f32 score/end packing is exact only for L <= ~400 "
+        "(4*score*1024 + j must stay below 2^24); chunk longer reads")
     lp = _round_up(max(l, 128), 128)        # lanes: multiple of 128
     if not interpret and jax.default_backend() == "tpu":
         # Mosaic/axon compile hangs on some non-1024 block shapes (e.g.
@@ -223,7 +248,7 @@ def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
     smt = _shift_mats_t(lp, ljc, jnp.bfloat16)           # (ljc, lp, lp)
 
     grid = (mpad // tm, npad // tn, lc)
-    best, end = pl.pallas_call(
+    comb = pl.pallas_call(
         functools.partial(_kernel, match_score=match_score,
                           mismatch=mismatch, jc=jc),
         grid=grid,
@@ -239,32 +264,30 @@ def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
             pl.BlockSpec((1, tn), lambda i, t, j: (0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tm, tn), lambda i, t, j: (i, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tn), lambda i, t, j: (i, t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((mpad, npad), jnp.int32),
-            jax.ShapeDtypeStruct((mpad, npad), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, t, j: (i, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mpad, npad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * ljc * mpad * npad * 3 * lp
             + 2 * ljc * (mpad // tm) * (npad // tn) * 3 * tm * lp * lp,
             bytes_accessed=(npad // tn) * 6 * mpad * lp
-            + (mpad // tm) * 6 * npad * lp + 8 * mpad * npad,
+            + (mpad // tm) * 6 * npad * lp + 4 * mpad * npad,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(a3, b3, smt, a_len[:, None], b_len[None, :])
-    return best[:na, :nb], end[:na, :nb]
+    )(a3, b3, smt, a_len[:, None].astype(jnp.float32),
+      b_len[None, :].astype(jnp.float32))
+    # decode the packed (4*score, 1023 - j) f32 max — exact integers
+    c = comb[:na, :nb].astype(jnp.int32)
+    best = c >> 12                                  # (c // 1024) // 4
+    end = 1023 - (c & 1023)
+    return best, end
 
 
 def overlap_scores_all_pairs(codes: jax.Array, lengths: jax.Array,
                              match_score: int = 10, mismatch: int = -1,
-                             tm: int = 256, tn: int = 1024, jc: int = 1,
+                             tm: int = 256, tn: int = 1024, jc: int = 10,
                              interpret: bool = False):
     """Square all-pairs case of `overlap_scores_block` (same read set as
     both source and target, i == t diagonal included)."""

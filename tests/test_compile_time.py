@@ -28,14 +28,20 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _PROBE = r"""
-import os, sys
+import os, sys, time
 sys.path.insert(0, sys.argv[1])
+t_start = time.perf_counter()
 import jax
 if jax.default_backend() not in ("tpu", "axon"):
-    print("NO_TPU"); raise SystemExit(0)
-import time
+    print("NO_TPU", flush=True); raise SystemExit(0)
 import numpy as np
 import jax.numpy as jnp
+
+# warm the device client first (plugin bring-up + tunnel attach can cost
+# 15-25 s on its own and is NOT what this guard measures)
+float(jnp.zeros((8, 128)).sum())
+print("BRINGUP_SECONDS", round(time.perf_counter() - t_start, 2), flush=True)
+
 from genome_assembly_tpu.ops.overlap_allpairs import overlap_scores_all_pairs
 
 rng = np.random.default_rng(0)
@@ -45,7 +51,8 @@ for n in (1024, 539):  # bench shape + dense-demo shape (round-2 stall)
     t0 = time.perf_counter()
     s, e = overlap_scores_all_pairs(jnp.asarray(codes), jnp.asarray(lens))
     v = int(s.sum()) + int(e.sum())  # forces compile AND execution
-    print(f"COMPILE_SECONDS n={n}", round(time.perf_counter() - t0, 2))
+    print(f"COMPILE_SECONDS n={n}", round(time.perf_counter() - t0, 2),
+          flush=True)
 """
 
 COMPILE_WALL_SECONDS = 30  # per shape; round-1 regression was >540 s
@@ -95,7 +102,7 @@ def test_allpairs_pallas_compiles_within_wall():
     wall = 2 * COMPILE_WALL_SECONDS + 180  # 2 shapes + process/plugin start
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", _PROBE, REPO],
+            [sys.executable, "-u", "-c", _PROBE, REPO],
             capture_output=True, text=True, timeout=wall,
             env=_clean_env())
     except subprocess.TimeoutExpired as e:
