@@ -70,11 +70,15 @@ def _timed_pairs_per_sec(fn, variants, ld, rep):
             break
         prev = dt
     t0 = time.perf_counter()
+    c0 = time.process_time()
     acc = None
     for c in variants:
         acc = fn(c, ld) if acc is None else acc + fn(c, ld)
     int(acc)
-    return (time.perf_counter() - t0) / rep
+    wall = time.perf_counter() - t0
+    # process_time/wall ~= host threads actually running: on the virtual
+    # CPU mesh this shows when the physical cores are saturated
+    return wall / rep, (time.process_time() - c0) / wall
 
 
 def _make_inputs(genome, N, L, rep):
@@ -141,15 +145,17 @@ def main():
     direct = jax.jit(lambda c, l: (
         lambda se: (se[0].sum() + se[1].sum()))(
         overlap_scores_all_pairs_auto(c, l)))
-    dt = _timed_pairs_per_sec(direct, variants, ld, REP)
+    dt, util = _timed_pairs_per_sec(direct, variants, ld, REP)
     direct_pps = n1 * n1 / dt
     row = {"mesh_size": 1, "wrapper": "direct", "platform": platform,
            "pairs_per_sec": round(direct_pps, 1),
            "pairs_per_sec_per_device": round(direct_pps, 1),
+           "host_threads_busy": round(util, 2),
            "n": n1, "l": L}
     rows.append(row)
     print(json.dumps(row))
 
+    cores = os.cpu_count() or 1
     base_ppd = None
     for m in sizes:
         N = n_per_dev * m if mode == "weak" else N_total
@@ -159,7 +165,7 @@ def main():
                 lambda se: (se[0] * (se[0] > -2**30)).sum() + se[1].sum())(
                 all_pairs_block_scores(mesh, c, l)))
         variants, ld = _make_inputs(genome, N, L, REP)
-        dt = _timed_pairs_per_sec(fn, variants, ld, REP)
+        dt, util = _timed_pairs_per_sec(fn, variants, ld, REP)
         pps = N * N / dt
         ppd = pps / m
         if base_ppd is None:
@@ -172,13 +178,34 @@ def main():
             "pairs_per_sec": round(pps, 1),
             "pairs_per_sec_per_device": round(ppd, 1),
             "scaling_efficiency": round(ppd / base_ppd, 4),
+            "host_threads_busy": round(util, 2),
             "n": N, "l": L,
         }
+        if platform == "cpu":
+            # all virtual devices share the host's physical cores, so
+            # per-device efficiency is hard-capped at cores/m once a
+            # single device saturates the machine — this cap, not the
+            # sharded program, is what bounds CPU-mesh numbers
+            row["host_core_cap"] = round(min(1.0, cores / m), 4)
         rows.append(row)
         print(json.dumps(row))
+    report = {"rows": rows, "mode": mode, "platform": platform,
+              "devices_available": n_avail, "host_cores": cores}
+    if platform == "cpu":
+        report["analysis"] = (
+            f"Virtual CPU mesh: {n_avail} XLA host devices share "
+            f"{cores} physical core(s), so weak-scaling efficiency at "
+            f"mesh size m is capped at min(1, {cores}/m) regardless of "
+            f"the program (total work grows with m on fixed silicon). "
+            f"host_threads_busy ~= cores confirms saturation. These "
+            f"numbers validate mesh-size *correctness* and wrapper "
+            f"overhead (compare the direct row), not ICI scaling: on a "
+            f"real slice each mesh axis member is a separate chip with "
+            f"its own MXU/HBM, and the per-device collective volume in "
+            f"this program (one all-gather of the read block per sweep) "
+            f"is constant in m.")
     with open(out_path, "w") as f:
-        json.dump({"rows": rows, "mode": mode, "platform": platform,
-                   "devices_available": n_avail}, f, indent=1)
+        json.dump(report, f, indent=1)
 
 
 if __name__ == "__main__":

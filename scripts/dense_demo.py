@@ -27,6 +27,11 @@ def main():
     L = 100
     import jax
 
+    # the axon TPU plugin force-sets jax_platforms — honor an explicit CPU
+    # request so comparison rows can be produced on the host backend
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from genome_assembly_tpu.experiments.runner import test_assembly
     from genome_assembly_tpu.simulate import read_genome_from_fasta
     from genome_assembly_tpu.utils.tracing import global_tracer
