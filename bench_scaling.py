@@ -58,6 +58,7 @@ def _timed_pairs_per_sec(fn, variants, ld, rep):
     import time
 
     int(fn(variants[0], ld))  # compile
+    rounds = int(os.environ.get("SCALE_ROUNDS", "10"))
     prev = float("inf")
     for _ in range(6):
         t0 = time.perf_counter()
@@ -69,16 +70,21 @@ def _timed_pairs_per_sec(fn, variants, ld, rep):
         if dt > 0.9 * prev:
             break
         prev = dt
+    # chain `rounds` passes over the variants with ONE final fetch: a
+    # synchronous fetch through the device tunnel costs ~30 ms, which at
+    # rep=8 masquerades as ~4 ms/sweep of "wrapper overhead" (this was
+    # the round-2 SCALING_tpu-vs-bench 2x discrepancy, VERDICT weak #2)
     t0 = time.perf_counter()
     c0 = time.process_time()
     acc = None
-    for c in variants:
-        acc = fn(c, ld) if acc is None else acc + fn(c, ld)
+    for _ in range(rounds):
+        for c in variants:
+            acc = fn(c, ld) if acc is None else acc + fn(c, ld)
     int(acc)
     wall = time.perf_counter() - t0
     # process_time/wall ~= host threads actually running: on the virtual
     # CPU mesh this shows when the physical cores are saturated
-    return wall / rep, (time.process_time() - c0) / wall
+    return wall / (rep * rounds), (time.process_time() - c0) / wall
 
 
 def _make_inputs(genome, N, L, rep):
