@@ -71,6 +71,13 @@ def cmd_experiments(args) -> int:
 
 
 def main(argv=None) -> int:
+    # the axon TPU plugin force-sets jax_platforms at import, ignoring the
+    # env var — honor an explicit JAX_PLATFORMS=cpu request (shared-chip
+    # boxes, CI hosts) before any backend initialises
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     parser = argparse.ArgumentParser(
         prog="genome_assembly_tpu",
         description="TPU-native OLC genome-assembly framework")
