@@ -40,7 +40,8 @@ def cmd_assemble(args) -> int:
     with prof:
         contigs, measures, _, _ = test_assembly(
             genome, args.l, args.n, args.p, args.k, args.name, 1,
-            path=args.plots, rng=rng, np_rng=np_rng, verbose=args.verbose)
+            path=args.plots, rng=rng, np_rng=np_rng, verbose=args.verbose,
+            banded=args.banded)
     print(f"contigs: {len(contigs)}")
     for name, value in measures.items():
         print(f"{name}: {value}")
@@ -93,6 +94,9 @@ def main(argv=None) -> int:
     pa.add_argument("--name", default="cli")
     pa.add_argument("--plots", default="plots")
     pa.add_argument("--verbose", action="store_true")
+    pa.add_argument("--banded", action="store_true",
+                    help="diagonal-banded SW for the metrics pass "
+                         "(long-genome option; PhiX results identical)")
     pa.add_argument("--trace", action="store_true",
                     help="print the per-stage wall-time/throughput table")
     pa.add_argument("--profile", default=None, metavar="DIR",

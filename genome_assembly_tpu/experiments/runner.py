@@ -30,9 +30,11 @@ def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
                   rng: random.Random | None = None,
                   np_rng: np.random.RandomState | None = None,
                   plot_hooks=None, device: bool = True, use_native: bool = True,
-                  verbose: bool = False):
+                  verbose: bool = False, banded: bool = False):
     """Run one assembly simulation; returns
-    (contigs, measures, contigs_alignment_details, error_prone_reads)."""
+    (contigs, measures, contigs_alignment_details, error_prone_reads).
+    `banded=True` uses the diagonal-banded SW for the metrics pass
+    (long-genome option; PhiX results identical)."""
     with stage("simulate.reads", items=N):
         error_free = generate_error_free_reads(genome, l, N, rng=rng)
         error_prone = generate_error_prone_reads(error_free, error_prob,
@@ -48,7 +50,7 @@ def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
         measures, details = calculate_measures(
             contigs, error_prone, len(error_prone), l, error_prob, k, genome,
             experiment_name, num_iteration, path, plot_hooks=plot_hooks,
-            verbose=verbose)
+            verbose=verbose, banded=banded)
     return contigs, measures, details, error_prone
 
 

@@ -216,14 +216,21 @@ def calculate_measures(contigs: list[str], reads: list[str], num_reads: int,
                        reads_length: int, error_prob: float, k: int,
                        ref_genome: str, experiment_name: str,
                        num_iteration: int, path: str = "plots",
-                       plot_hooks=None, verbose: bool = False):
+                       plot_hooks=None, verbose: bool = False,
+                       banded: bool = False, band: int = 64):
     """Returns (measures, contigs_alignment_details) — reference
-    performanceMeasures.py:190-252 signature and output parity."""
+    performanceMeasures.py:190-252 signature and output parity.
+
+    `banded=True` routes the contig->genome alignments through the
+    diagonal-banded SW kernel (align_to_ref.py; identical results when
+    the band covers the optimal path, O(band) instead of O(genome) row
+    work — the long-genome option)."""
     if verbose:
         print(f"Calculating performance measures for {experiment_name} "
               f"(Iteration {num_iteration})")
     expected_coverage = num_reads * reads_length / len(ref_genome)
-    details = align_contigs_to_reference(contigs, ref_genome, reads_length)
+    details = align_contigs_to_reference(contigs, ref_genome, reads_length,
+                                         banded=banded, band=band)
 
     coverage_rate, mm_aligned, mm_genome = (
         calculate_genome_coverage_and_mismatch_rate(
