@@ -128,8 +128,8 @@ def main():
     dt = full / sweeps
     # overhead of one dispatch+fetch round trip (for the artifact; the
     # subtraction assumes the per-sweep cost is chain-length-invariant)
-    fetch_ms = max(0.0, (one * ROUNDS - full) / (ROUNDS - 1) / 1e-3) \
-        if ROUNDS > 1 else float("nan")
+    fetch_ms = round(max(0.0, (one * ROUNDS - full) / (ROUNDS - 1) / 1e-3),
+                     1) if ROUNDS > 1 else None  # NaN is not valid JSON
     device_pps = N * N / dt
 
     # achieved matmul FLOP/s of the sweep (main contraction + in-kernel
@@ -138,11 +138,17 @@ def main():
     # (mpad x npad, 1024-multiples on TPU — see overlap_scores_block),
     # not the logical N^2 (VERDICT round 2, weak #4).
     lp = 128 if L <= 128 else ((L + 127) // 128) * 128
-    on_tpu = jax.default_backend() == "tpu"
-    mpad = -(-N // 1024) * 1024 if on_tpu else N
-    npad = -(-N // 1024) * 1024 if on_tpu else N
+    # padded-grid accounting applies only to the Pallas kernel (the XLA
+    # twin computes the unpadded N^2 grid); the shift-matmul term scales
+    # with the column-block count npad//tn (tn=1024)
+    pallas_used = (jax.default_backend() == "tpu" and impl != "xla"
+                   and os.environ.get("GA_TPU_PALLAS", "1") != "0")
+    mpad = -(-N // 1024) * 1024 if pallas_used else N
+    npad = -(-N // 1024) * 1024 if pallas_used else N
     # 3 simplex channels (not 4 one-hot): main contraction + shift matmul
-    flops = L * (6 * mpad * npad * lp) + L * 6 * mpad * lp * lp
+    flops = L * (6 * mpad * npad * lp)
+    if pallas_used:
+        flops += L * 6 * mpad * (npad // 1024) * lp * lp
     tflops = flops / dt / 1e12
     peak = float(os.environ.get("GA_TPU_PEAK_TFLOPS", "197"))
 
@@ -177,7 +183,7 @@ def main():
         "tflops": round(tflops, 2),
         "mfu": round(tflops / peak, 4),
         "sweep_us": round(dt * 1e6, 1),
-        "dispatch_fetch_overhead_ms": round(fetch_ms, 1),
+        "dispatch_fetch_overhead_ms": fetch_ms,
         "sweeps_per_fetch": sweeps,
     }))
 

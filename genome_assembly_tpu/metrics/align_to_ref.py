@@ -157,8 +157,10 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
                 qs = [c for c, _ in batch] + [""] * fill
                 d0s = np.array([d for _, d in batch] + [0] * fill, np.int32)
                 q_mat, q_len = encode_batch(qs, width=n_pad)
-                r_mat, r_len = encode_batch(
-                    [reference_genome] * b_pad, width=m_pad)
+                # ONE shared genome row (the kernel broadcasts it); the
+                # per-item r_len still gates validity
+                r_mat, _ = encode_batch([reference_genome], width=m_pad)
+                r_len = np.full((b_pad,), genome_len, np.int32)
                 best, bi, bj, ops, _ = local_align_batch_banded(
                     jnp.asarray(q_mat), jnp.asarray(q_len),
                     jnp.asarray(r_mat), jnp.asarray(r_len),

@@ -46,6 +46,23 @@ def _load():
     path = os.path.join(os.path.dirname(__file__), "libgraphcore.so")
     if not os.path.exists(path):
         _build(path)
+    for attempt in range(2):
+        lib = _try_load(path)
+        if lib is not None or attempt == 1:
+            _LIB = lib
+            return _LIB
+        # stale .so (e.g. built before a symbol was added, mtimes not
+        # helping): force a rebuild once, then give up to the Python
+        # fallbacks rather than crash (review finding round 3)
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        _build(path)
+    return _LIB
+
+
+def _try_load(path):
     if os.path.exists(path):
         try:
             lib = ctypes.CDLL(path)
@@ -89,10 +106,12 @@ def _load():
                 np.ctypeslib.ndpointer(np.int32),         # bj out (1,)
                 np.ctypeslib.ndpointer(np.uint8),         # ops out (n+m,)
             ]
-            _LIB = lib
-        except OSError:
-            _LIB = None
-    return _LIB
+            return lib
+        except (OSError, AttributeError):
+            # OSError: unloadable .so; AttributeError: stale build
+            # missing a newer symbol — caller forces a rebuild once
+            return None
+    return None
 
 
 def available() -> bool:

@@ -208,9 +208,13 @@ def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
     na, l = a_codes.shape
     nb, lb = b_codes.shape
     assert l == lb, "source and target reads must share the padded width"
-    assert l <= 300, (
-        "combined-f32 score/end packing is exact only for L <= ~400 "
-        "(4*score*1024 + j must stay below 2^24); chunk longer reads")
+    # exactness of the packed f32 (4*score*1024 + 1023-j) running max:
+    # |score| <= max(match_score, -mismatch) * L, and the packed value
+    # must stay below 2^24 (f32 exact-integer range)
+    assert max(match_score, -mismatch) * l * 4096 + 1023 < 2**24, (
+        f"combined-f32 score/end packing not exact for "
+        f"match={match_score}, mismatch={mismatch}, L={l}: "
+        f"4*|score|*1024 exceeds 2^24; chunk reads or reduce scores")
     lp = _round_up(max(l, 128), 128)        # lanes: multiple of 128
     if not interpret and jax.default_backend() == "tpu":
         # Mosaic/axon compile hangs on some non-1024 block shapes (e.g.

@@ -206,6 +206,7 @@ def local_align_batch_banded(queries: jax.Array, q_len: jax.Array,
     """
     B, n_pad = queries.shape
     m_pad = refs.shape[1]
+    shared_ref = refs.shape[0] == 1 and B > 1
     wb = 2 * band + 1
     t = jnp.arange(wb, dtype=jnp.int32)[None, :]                 # (1, wb)
     neg_indel = jnp.int32(-indel)
@@ -216,8 +217,12 @@ def local_align_batch_banded(queries: jax.Array, q_len: jax.Array,
         jlo = d0 - band + i                                      # (B,)
         j = jlo[:, None] + t                                     # (B, wb) global col
         valid_j = (j >= 1) & (j <= r_len[:, None]) & (i <= q_len)[:, None]
-        rc = jnp.take_along_axis(
-            refs, jnp.clip(j - 1, 0, m_pad - 1), axis=1)         # (B, wb)
+        jc = jnp.clip(j - 1, 0, m_pad - 1)
+        # refs may be a single shared row (the long-genome case: one
+        # genome, many contigs — materializing B copies would cost
+        # O(B*m) memory for a kernel that only reads O(band) per row)
+        rc = refs[0][jc] if shared_ref else \
+            jnp.take_along_axis(refs, jc, axis=1)                # (B, wb)
         qc = jax.lax.dynamic_slice_in_dim(queries, i - 1, 1, axis=1)
         sub = jnp.where(rc == qc, match_score, mismatch).astype(jnp.int32)
         diag = prev + sub                                        # prev[t] = dp[i-1][j-1]
@@ -270,9 +275,13 @@ def local_align_batch_banded(queries: jax.Array, q_len: jax.Array,
         active = active & (c != 0)
         return (i, tt, active), c
 
+    # walk bound: #diag + #up <= n_pad (each consumes a query row) and
+    # #left <= #up + band width (t stays in [0, 2*band]), so total steps
+    # <= 2*n_pad + 2*band + 1 — NOT n_pad + 2*band (an insertion-rich
+    # path interleaves up/left beyond that; review finding round 3)
     (i_end, t_end, _), ops = jax.lax.scan(
         wstep, (bi, bt, jnp.ones_like(bi, dtype=bool)),
-        None, length=n_pad + 2 * band)
+        None, length=2 * n_pad + 2 * band + 1)
     start_j = jnp.where(hit, d0 - band + i_end + t_end, 0)
     return best, jnp.where(hit, bi, 0), best_j, ops, start_j
 

@@ -79,37 +79,62 @@ def _clean_env():
     return env
 
 
-def _run_probe(wall):
-    try:
-        return subprocess.run(
-            [sys.executable, "-u", "-c", _PROBE, REPO],
-            capture_output=True, text=True, timeout=wall,
-            env=_clean_env()), None
-    except subprocess.TimeoutExpired as e:
-        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
-            else (e.stdout or "")
-        return None, out
+def _run_probe():
+    """Runs the probe with SEPARATE deadlines for attach/bring-up and the
+    compile phase (a slow-but-allowed attach must not eat the compile
+    budget and be misreported as a Mosaic hang). Returns
+    (stdout, 'ok'|'attach_stall'|'compile_hang')."""
+    import time
+
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", _PROBE, REPO],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=_clean_env())
+    os.set_blocking(proc.stdout.fileno(), False)
+    out = ""
+    deadline = time.monotonic() + BRINGUP_WALL_SECONDS
+    phase = "attach"
+    while True:
+        chunk = proc.stdout.read()
+        if chunk:
+            out += chunk
+            if phase == "attach" and ("BRINGUP_SECONDS" in out
+                                      or "NO_TPU" in out):
+                # attach done: the remaining budget is the compile wall
+                # (plus margin for the two result fetches)
+                phase = "compile"
+                deadline = time.monotonic() + 2 * COMPILE_WALL_SECONDS + 60
+        if proc.poll() is not None:
+            chunk = proc.stdout.read()
+            if chunk:
+                out += chunk
+            return out, "ok"
+        if time.monotonic() > deadline:
+            proc.kill()
+            proc.wait()
+            return out, ("attach_stall" if phase == "attach"
+                         else "compile_hang")
+        time.sleep(0.25)
 
 
 def test_allpairs_pallas_compiles_within_wall():
-    wall = BRINGUP_WALL_SECONDS + 2 * COMPILE_WALL_SECONDS
-    proc, partial = _run_probe(wall)
-    if proc is None:
-        if (partial or "").strip() == "":
-            pytest.skip(
-                f"TPU attach stalled for {wall}s (tunnel wedged or chip "
-                f"held by another client) — environment fault, NOT a "
-                f"compile-time verdict")
+    out, status = _run_probe()
+    if status == "attach_stall":
+        pytest.skip(
+            f"TPU attach stalled for {BRINGUP_WALL_SECONDS}s (tunnel "
+            f"wedged or chip held by another client) — environment "
+            f"fault, NOT a compile-time verdict")
+    if status == "compile_hang":
         pytest.fail(
-            f"Pallas compile+run probe exceeded {wall}s after attach — "
-            f"Mosaic compile/executable hang (round-1/2 regression "
-            f"class). Partial output: {partial!r}")
-    assert proc.returncode == 0, proc.stdout + proc.stderr
-    if "NO_TPU" in proc.stdout:
+            f"Pallas compile+run did not finish within "
+            f"{2 * COMPILE_WALL_SECONDS + 60}s after attach — Mosaic "
+            f"compile/executable hang (round-1/2 regression class). "
+            f"Output so far: {out!r}")
+    if "NO_TPU" in out:
         pytest.skip("no TPU backend (CPU-only environment)")
-    lines = [ln for ln in proc.stdout.splitlines()
+    lines = [ln for ln in out.splitlines()
              if ln.startswith("COMPILE_SECONDS")]
-    assert len(lines) == 2, proc.stdout
+    assert len(lines) == 2, out
     for line in lines:
         seconds = float(line.split()[-1])
         assert seconds < COMPILE_WALL_SECONDS, (

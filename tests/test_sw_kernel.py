@@ -220,3 +220,60 @@ def test_align_to_ref_banded_flag(rng):
     full = align_contigs_to_reference(contigs, g, 100)
     band = align_contigs_to_reference(contigs, g, 100, banded=True, band=64)
     assert full == band
+
+
+def test_sw_banded_indel_rich_traceback(rng):
+    """Round-3 review regression: the banded walk buffer must hold paths
+    with more steps than n_pad + 2*band (insertion-rich alignments
+    interleave up/left moves), and a (1, m) shared reference row must
+    behave exactly like B copies."""
+    from genome_assembly_tpu.ops.smith_waterman import (
+        local_align_batch_banded,
+    )
+
+    g = random_dna(rng, 1200)
+    cases, d0s = [], []
+    for _ in range(8):
+        i = rng.randrange(len(g) - 400)
+        q = []
+        pos = i
+        while pos < i + 300:  # alternate 4-base deletions and insertions
+            q.append(g[pos:pos + 8])
+            pos += 12          # skip 4 (deletion in query)
+            q.append(random_dna(rng, 4))  # 4 inserted bases
+        cases.append("".join(q))
+        d0s.append(i)
+    n_pad = max(map(len, cases))
+    q_mat, q_len = encode_batch(cases, width=n_pad)
+    r_many, rl_many = encode_batch([g] * len(cases), width=len(g))
+    r_one, _ = encode_batch([g], width=len(g))
+    full = local_align_batch_ops(
+        jnp.asarray(q_mat), jnp.asarray(q_len),
+        jnp.asarray(r_many), jnp.asarray(rl_many))
+    band = local_align_batch_banded(
+        jnp.asarray(q_mat), jnp.asarray(q_len),
+        jnp.asarray(r_one), jnp.asarray(rl_many),
+        jnp.asarray(np.array(d0s, np.int32)), 64)
+    band_many = local_align_batch_banded(
+        jnp.asarray(q_mat), jnp.asarray(q_len),
+        jnp.asarray(r_many), jnp.asarray(rl_many),
+        jnp.asarray(np.array(d0s, np.int32)), 64)
+    f = [np.asarray(x) for x in full]
+    b = [np.asarray(x) for x in band]
+    # shared (1, m) reference row == B replicated rows, exactly
+    for x, y in zip(band, band_many):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # banded is full SW restricted to in-band paths: never above full,
+    # and close for on-diagonal plants (wander near the band edge may
+    # cost a few points - that is the banded contract, not a bug)
+    assert (b[0] <= f[0]).all()
+    assert (b[0] >= f[0] - 60).all(), (b[0], f[0])
+    for idx, q in enumerate(cases):
+        # the replayed alignment must ACHIEVE the claimed score (a
+        # truncated op stream replays a lower-scoring prefix - the
+        # round-3 review bug where the walk buffer was n_pad + 2*band)
+        ar_b, aq_b, _ = replay_ops_host(b[3][:, idx], b[1][idx],
+                                        b[2][idx], q, g)
+        score = sum(10 if (x != "-" and y != "-" and x == y) else -1
+                    for x, y in zip(ar_b, aq_b))
+        assert score == b[0][idx], (idx, score, b[0][idx])
