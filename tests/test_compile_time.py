@@ -88,32 +88,35 @@ def _run_probe():
 
     proc = subprocess.Popen(
         [sys.executable, "-u", "-c", _PROBE, REPO],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         env=_clean_env())
     os.set_blocking(proc.stdout.fileno(), False)
-    out = ""
+    buf = b""
     deadline = time.monotonic() + BRINGUP_WALL_SECONDS
     phase = "attach"
-    while True:
+
+    def drain(b):
+        # non-blocking binary read: returns None when no data is ready
         chunk = proc.stdout.read()
-        if chunk:
-            out += chunk
-            if phase == "attach" and ("BRINGUP_SECONDS" in out
-                                      or "NO_TPU" in out):
-                # attach done: the remaining budget is the compile wall
-                # (plus margin for the two result fetches)
-                phase = "compile"
-                deadline = time.monotonic() + 2 * COMPILE_WALL_SECONDS + 60
+        return b + chunk if chunk else b
+
+    while True:
+        buf = drain(buf)
+        out = buf.decode(errors="replace")
+        if phase == "attach" and ("BRINGUP_SECONDS" in out
+                                  or "NO_TPU" in out):
+            # attach done: the remaining budget is the compile wall
+            # (plus margin for the two result fetches)
+            phase = "compile"
+            deadline = time.monotonic() + 2 * COMPILE_WALL_SECONDS + 60
         if proc.poll() is not None:
-            chunk = proc.stdout.read()
-            if chunk:
-                out += chunk
+            out = drain(buf).decode(errors="replace")
             return out, "ok"
         if time.monotonic() > deadline:
             proc.kill()
             proc.wait()
-            return out, ("attach_stall" if phase == "attach"
-                         else "compile_hang")
+            return buf.decode(errors="replace"), (
+                "attach_stall" if phase == "attach" else "compile_hang")
         time.sleep(0.25)
 
 
