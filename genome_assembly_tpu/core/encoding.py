@@ -36,11 +36,10 @@ def decode(codes: np.ndarray, length: int | None = None) -> str:
     if length is not None:
         codes = codes[:length]
     else:
-        # strip trailing pads
+        # strip trailing pads (pads are only trailing in well-formed
+        # tensors; keep everything up to the last valid code)
         valid = codes != PAD
         if not valid.all():
-            n = int(valid.sum()) if valid.any() else 0
-            # pads are only trailing in well-formed tensors; find last valid
             n = int(np.max(np.nonzero(valid)[0]) + 1) if valid.any() else 0
             codes = codes[:n]
     return _CODE_TO_ASCII[np.asarray(codes, dtype=np.uint8)].tobytes().decode("ascii")

@@ -131,8 +131,8 @@ def _kernel(a_ref, b_ref, smt_ref, alen_ref, blen_ref, best_ref,
         # max() therefore reproduces the reference's first-max tie-break
         # (strict >: ties keep the LOWER j) exactly, with no compare/
         # select cascade and half the output writes. All values are
-        # exact in f32 (4*score*1024 + 1023 < 2^24 for L <= 400; the
-        # caller asserts L <= 300). Decode happens once outside.
+        # exact in f32: the caller asserts 4*|score|*1024 + 1023 < 2^24
+        # AND L <= 1023 (the j-field width). Decode happens once outside.
         d = jnp.minimum(alen_ref[:, 0:1], jnp.float32(j))
         score4 = jnp.float32(match_score - mismatch) * ssum + \
             jnp.float32(match_score + 3 * mismatch) * d
@@ -215,6 +215,13 @@ def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
         f"combined-f32 score/end packing not exact for "
         f"match={match_score}, mismatch={mismatch}, L={l}: "
         f"4*|score|*1024 exceeds 2^24; chunk reads or reduce scores")
+    # the end-position field packs as (1023 - j) with j in [1, L]: the
+    # decode (c & 1023 / c >> 12) goes silently wrong for L > 1023 even
+    # when the score magnitude alone would pass the assert above (small
+    # scoring params admit L up to 4095 there — advisor finding round 3)
+    assert l <= 1023, (
+        f"packed end-position field holds j <= 1023, got padded width {l}; "
+        f"chunk reads")
     lp = _round_up(max(l, 128), 128)        # lanes: multiple of 128
     if not interpret and jax.default_backend() == "tpu":
         # Mosaic/axon compile hangs on some non-1024 block shapes (e.g.

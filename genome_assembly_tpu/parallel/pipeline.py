@@ -227,6 +227,11 @@ def pipelined_candidates_score(mesh: Mesh, reads, lengths, k: int = 5,
         scores = jax.lax.psum(jnp.where(sid == 1, scores, 0), axis)
         ends = jax.lax.psum(jnp.where(sid == 1, ends, 0), axis)
         valid = cand >= 0
+        # invalid (-1) candidate slots were clipped to row 0 and scored as
+        # real pairs; zero them so the contract is self-enforcing instead
+        # of every consumer having to re-mask (advisor finding round 3)
+        scores = jnp.where(valid, scores, 0)
+        ends = jnp.where(valid, ends, 0)
         return cand, scores, ends, valid
 
     return _run(reads, lengths)
@@ -251,7 +256,10 @@ def candidates_score_unpipelined(reads, lengths, k: int = 5, cap: int = 32):
     a_idx = jnp.repeat(rows, cap)
     b_idx = jnp.clip(cand.reshape(-1), 0, n - 1)
     s, e = _sc(rvec[a_idx], lengths[a_idx], reads[b_idx], lengths[b_idx])
-    return cand, s.reshape(n, cap), e.reshape(n, cap), cand >= 0
+    valid = cand >= 0
+    s = jnp.where(valid, s.reshape(n, cap), 0)
+    e = jnp.where(valid, e.reshape(n, cap), 0)
+    return cand, s, e, valid
 
 
 def score_filter_unpipelined(reads, lengths, min_score: int = 1):

@@ -58,8 +58,8 @@ def test_pipelined_candidates_score_parity(rng):
                                      n_micro=4)
     want = candidates_score_unpipelined(codes, lens, k=5, cap=16)
     for g, w, name in zip(got, want, ("cand", "scores", "ends", "valid")):
-        g, w = np.asarray(g), np.asarray(w)
-        if name in ("scores", "ends"):  # undefined where invalid
-            v = np.asarray(want[3])
-            g, w = g * v, w * v
-        np.testing.assert_array_equal(g, w, err_msg=name)
+        # invalid slots are zeroed by contract on both sides, so the
+        # comparison needs no masking (advisor finding round 3)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=name)
+    assert (np.asarray(got[1])[~np.asarray(got[3])] == 0).all()
