@@ -94,9 +94,15 @@ def main(argv=None) -> int:
     pa.add_argument("--name", default="cli")
     pa.add_argument("--plots", default="plots")
     pa.add_argument("--verbose", action="store_true")
-    pa.add_argument("--banded", action="store_true",
-                    help="diagonal-banded SW for the metrics pass "
-                         "(long-genome option; PhiX results identical)")
+    pa.add_argument("--banded", dest="banded", action="store_const",
+                    const=True, default="auto",
+                    help="force diagonal-banded SW for the metrics pass "
+                         "(default: auto — banded for large full-genome "
+                         "batches, with full-width fallback)")
+    pa.add_argument("--full-width", dest="banded", action="store_const",
+                    const=False,
+                    help="force the full-width (reference-shape) SW for "
+                         "the metrics pass")
     pa.add_argument("--trace", action="store_true",
                     help="print the per-stage wall-time/throughput table")
     pa.add_argument("--profile", default=None, metavar="DIR",

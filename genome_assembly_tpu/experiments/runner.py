@@ -30,11 +30,13 @@ def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
                   rng: random.Random | None = None,
                   np_rng: np.random.RandomState | None = None,
                   plot_hooks=None, device: bool = True, use_native: bool = True,
-                  verbose: bool = False, banded: bool = False):
+                  verbose: bool = False, banded: bool | str = "auto"):
     """Run one assembly simulation; returns
     (contigs, measures, contigs_alignment_details, error_prone_reads).
-    `banded=True` uses the diagonal-banded SW for the metrics pass
-    (long-genome option; PhiX results identical)."""
+    `banded` controls the metrics-pass SW: "auto" (default) bands large
+    full-genome contig batches with seeded per-contig bands and
+    full-width fallback; True forces banding; False forces the
+    full-width reference shape."""
     with stage("simulate.reads", items=N):
         error_free = generate_error_free_reads(genome, l, N, rng=rng)
         error_prone = generate_error_prone_reads(error_free, error_prob,

@@ -217,14 +217,17 @@ def calculate_measures(contigs: list[str], reads: list[str], num_reads: int,
                        ref_genome: str, experiment_name: str,
                        num_iteration: int, path: str = "plots",
                        plot_hooks=None, verbose: bool = False,
-                       banded: bool = False, band: int = 64):
+                       banded: bool | str = "auto", band: int = 64):
     """Returns (measures, contigs_alignment_details) — reference
     performanceMeasures.py:190-252 signature and output parity.
 
-    `banded=True` routes the contig->genome alignments through the
+    `banded` routes the contig->genome alignments through the
     diagonal-banded SW kernel (align_to_ref.py; identical results when
     the band covers the optimal path, O(band) instead of O(genome) row
-    work — the long-genome option)."""
+    work). The default "auto" bands only large full-genome batches —
+    the N=10000 sweep wall (VERDICT round 3) — with per-contig seeded
+    bands and full-width fallback; False forces the reference's
+    full-width shape everywhere."""
     if verbose:
         print(f"Calculating performance measures for {experiment_name} "
               f"(Iteration {num_iteration})")

@@ -92,6 +92,26 @@ def _try_load(path):
                 np.ctypeslib.ndpointer(np.int32),         # score out
                 np.ctypeslib.ndpointer(np.int32),         # end out
             ]
+            lib.gc_local_align_batch.restype = ctypes.c_longlong
+            lib.gc_local_align_batch.argtypes = [
+                ctypes.c_longlong,                        # B
+                ctypes.c_longlong,                        # q_stride
+                np.ctypeslib.ndpointer(np.int8),          # q codes (B, qs)
+                np.ctypeslib.ndpointer(np.int32),         # q_len
+                ctypes.c_longlong,                        # m (genome len)
+                np.ctypeslib.ndpointer(np.int8),          # genome codes (m,)
+                np.ctypeslib.ndpointer(np.int32),         # w_len (suffix)
+                ctypes.c_longlong,                        # match
+                ctypes.c_longlong,                        # mismatch
+                ctypes.c_longlong,                        # indel
+                ctypes.c_longlong,                        # ops_stride
+                np.ctypeslib.ndpointer(np.int32),         # score out
+                np.ctypeslib.ndpointer(np.int32),         # bi out
+                np.ctypeslib.ndpointer(np.int32),         # bj out
+                np.ctypeslib.ndpointer(np.int32),         # steps out
+                np.ctypeslib.ndpointer(np.uint8),         # ops out (B, os)
+                ctypes.c_longlong,                        # n_threads
+            ]
             lib.gc_local_align.restype = ctypes.c_longlong
             lib.gc_local_align.argtypes = [
                 ctypes.c_longlong,                        # n (query)
@@ -162,6 +182,50 @@ def local_align(query: str, reference: str, match_score: int = 10,
     ar, aq, start = replay_ops_host(ops[:steps], int(bi[0]), int(bj[0]),
                                     query, reference)
     return ar, aq, int(score[0]), start, int(bj[0])
+
+
+def local_align_batch_suffix_windows(queries: list[str], genome_codes,
+                                     w_len, match_score: int = 10,
+                                     mismatch: int = -1, indel: int = -1,
+                                     n_threads: int | None = None):
+    """Batched C++ Smith-Waterman of queries against per-item SUFFIX
+    windows of one genome (the two window shapes of the metrics pass,
+    aligners.py:170-202: full genome, or the tail window genome[-n:]).
+
+    Args:
+        queries: contig strings.
+        genome_codes: (m,) int8 encoded genome.
+        w_len: (B,) window length per item (w == m -> full genome).
+
+    Returns (score, bi, bj, steps, ops): int32 arrays (B,) and the
+    (B, ops_stride) uint8 op-stream matrix; item p's path is
+    ops[p, :steps[p]] in backwards order, coordinates LOCAL to the
+    window (caller adds the m - w offset). Semantics are bit-identical
+    to gc_local_align / the device kernel (ops/smith_waterman.py).
+    """
+    from ..core.encoding import encode_batch
+
+    lib = _load()
+    B = len(queries)
+    genome = np.ascontiguousarray(genome_codes, dtype=np.int8)
+    m = len(genome)
+    q_mat, q_len = encode_batch(queries)
+    q_mat = np.ascontiguousarray(q_mat, dtype=np.int8)
+    wl = np.ascontiguousarray(w_len, dtype=np.int32)
+    q_stride = q_mat.shape[1] if B else 0
+    ops_stride = q_stride + m
+    score = np.empty(B, np.int32)
+    bi = np.empty(B, np.int32)
+    bj = np.empty(B, np.int32)
+    steps = np.empty(B, np.int32)
+    ops = np.empty((max(B, 1), max(ops_stride, 1)), np.uint8)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+    if B:
+        lib.gc_local_align_batch(B, q_stride, q_mat, q_len, m, genome, wl,
+                                 match_score, mismatch, indel, ops.shape[1],
+                                 score, bi, bj, steps, ops, n_threads)
+    return score, bi, bj, steps, ops
 
 
 def overlap_baseline_batch(a_codes, a_len, b_codes, b_len, match_score=10,

@@ -306,11 +306,152 @@ def seed_diagonal(query: str, genome_index: dict, genome_len: int,
 
 @functools.lru_cache(maxsize=4)
 def genome_kmer_index(genome: str, k: int = 15) -> dict:
-    """{k-mer: (positions...)} over the genome (host, cached per genome)."""
+    """{k-mer: (positions...)} over the genome (host, cached per genome).
+
+    Single-query convenience path; the metrics pass uses the numpy
+    sorted-hash index (`genome_hash_index` + `seed_diagonals_batch`)
+    instead — O(genome) Python dict builds and per-contig Python vote
+    loops were the host wall at 10k-contig scale (advisor round 3)."""
     idx: dict[str, list[int]] = {}
     for pos in range(len(genome) - k + 1):
         idx.setdefault(genome[pos:pos + k], []).append(pos)
     return {km: tuple(ps) for km, ps in idx.items()}
+
+
+@functools.lru_cache(maxsize=4)
+def genome_hash_index(genome: str, k: int = 15):
+    """Sorted base-4 k-mer hash index over the genome, fully vectorized.
+
+    Returns (hashes, positions): int64/int32 arrays sorted by (hash, pos).
+    Memory is O(genome) (two arrays), not the ~100x dict-of-tuples
+    footprint of `genome_kmer_index`. k <= 31 keeps 4**k in int64.
+    """
+    from ..core.encoding import encode
+
+    assert 0 < k <= 31, "base-4 hash needs k <= 31 for int64"
+    codes = encode(genome).astype(np.int64)
+    n_win = len(genome) - k + 1
+    if n_win <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int32)
+    pw = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    h = np.zeros(n_win, np.int64)
+    for t in range(k):                     # k adds of an O(genome) vector
+        h += codes[t:t + n_win] * pw[t]
+    # windows touching a non-ACGT code (>= 4) are not real k-mers
+    bad = codes >= 4
+    if bad.any():
+        w = np.zeros(n_win, bool)
+        for t in range(k):
+            w |= bad[t:t + n_win]
+        keep = ~w
+        h, pos = h[keep], np.nonzero(keep)[0].astype(np.int32)
+    else:
+        pos = np.arange(n_win, dtype=np.int32)
+    order = np.argsort(h, kind="stable")   # stable: ascending pos per hash
+    return h[order], pos[order]
+
+
+def seed_diagonals_batch(contigs: list[str], genome: str, k: int = 15,
+                         chunk_elems: int = 4_000_000):
+    """Batched k-mer diagonal seeding for the metrics pass (numpy).
+
+    For every contig, finds all exact k-mer hits against the genome and
+    aggregates them per diagonal d = genome_pos - contig_pos. Returns
+    (d0, d_lo, d_hi, has_hit):
+
+      d0:      (U,) int32 — the vote-winning diagonal (most hits; ties
+               break to smallest |d|, then smallest d);
+      d_lo/hi: (U,) int32 — min/max diagonal over ALL hits (a band
+               covering [d_lo, d_hi] contains every exact-match segment,
+               which under the substitution-only error model is where
+               any high-scoring alignment path lives);
+      has_hit: (U,) bool — False where the contig has no k-mer hit
+               (callers fall back to full-width alignment).
+
+    Vectorized end to end: rolling base-4 hashes per contig row,
+    searchsorted into the genome's sorted hash index, np.repeat hit
+    expansion, np.unique vote counting. Contigs are processed in
+    length-sorted chunks so the (rows, windows) hash matrix stays under
+    `chunk_elems` elements even when one contig is genome-sized.
+    """
+    from ..core.encoding import encode_batch
+
+    u_count = len(contigs)
+    d0 = np.zeros(u_count, np.int32)
+    d_lo = np.zeros(u_count, np.int32)
+    d_hi = np.zeros(u_count, np.int32)
+    has = np.zeros(u_count, bool)
+    if u_count == 0:
+        return d0, d_lo, d_hi, has
+    gh, gpos = genome_hash_index(genome, k)
+    if len(gh) == 0:
+        return d0, d_lo, d_hi, has
+    lens = np.array([len(c) for c in contigs], np.int64)
+    by_len = np.argsort(lens, kind="stable")
+    pw = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+
+    lo = 0
+    while lo < u_count:
+        hi = lo + 1
+        width = int(lens[by_len[lo]])
+        while hi < u_count:
+            w = int(lens[by_len[hi]])
+            if w >= k and (hi - lo + 1) * (w - k + 1) > chunk_elems:
+                break
+            width = w
+            hi += 1
+        idx = by_len[lo:hi]
+        lo = hi
+        if width < k:
+            continue                       # every contig here is too short
+        rows = [contigs[i] for i in idx]
+        mat, rlen = encode_batch(rows, width=width)
+        n_win = width - k + 1
+        h = np.zeros((len(rows), n_win), np.int64)
+        m64 = mat.astype(np.int64)
+        for t in range(k):
+            h += m64[:, t:t + n_win] * pw[t]
+        u_col = np.arange(n_win, dtype=np.int64)[None, :]
+        valid = u_col <= (rlen[:, None].astype(np.int64) - k)
+        h = np.where(valid, h, np.int64(-1))          # -1 < all genome hashes
+        flat = h.ravel()
+        s_lo = np.searchsorted(gh, flat, side="left")
+        s_hi = np.searchsorted(gh, flat, side="right")
+        cnt = s_hi - s_lo
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        starts = np.cumsum(cnt) - cnt
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+        hit_pos = gpos[np.repeat(s_lo, cnt) + within].astype(np.int64)
+        flat_idx = np.repeat(np.arange(flat.size, dtype=np.int64), cnt)
+        hit_row = flat_idx // n_win                    # chunk-local row
+        hit_u = flat_idx % n_win
+        d = hit_pos - hit_u                            # diagonal
+        # vote per (row, d): encode as one key, count with np.unique
+        off = np.int64(n_win)                          # d >= -(n_win - 1)
+        mod = np.int64(len(genome) + n_win + 1)
+        uk, ucnt = np.unique(hit_row * mod + (d + off), return_counts=True)
+        uk_row = uk // mod
+        uk_d = uk % mod - off
+        # winner per row: most votes, then smallest |d|, then smallest d
+        order = np.lexsort((uk_d, np.abs(uk_d), -ucnt, uk_row))
+        row_sorted = uk_row[order]
+        first = np.ones(len(order), bool)
+        first[1:] = row_sorted[1:] != row_sorted[:-1]
+        win_rows = row_sorted[first]
+        g_idx = idx[win_rows]
+        d0[g_idx] = uk_d[order[first]].astype(np.int32)
+        has[g_idx] = True
+        # d range per row: uk is sorted by (row, d+off) already
+        fr = np.ones(len(uk), bool)
+        fr[1:] = uk_row[1:] != uk_row[:-1]
+        starts_r = np.nonzero(fr)[0]
+        ends_r = np.r_[starts_r[1:], len(uk)] - 1
+        rng_idx = idx[uk_row[starts_r]]
+        d_lo[rng_idx] = uk_d[starts_r].astype(np.int32)
+        d_hi[rng_idx] = uk_d[ends_r].astype(np.int32)
+    return d0, d_lo, d_hi, has
 
 
 def replay_ops_host(ops_col: np.ndarray, best_i: int, best_j: int,

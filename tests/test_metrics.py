@@ -171,3 +171,73 @@ def test_coverage_mismatch_vectorized_parity(device):
     cov, mm = coverage_and_mismatch_vectors(details, 400, device=device)
     np.testing.assert_array_equal(cov, cov_ref)
     np.testing.assert_array_equal(mm, mm_ref)
+
+
+def test_native_executor_bit_identical():
+    """The C++ full-width executor (the CPU-backend default since round 4:
+    gc_local_align_batch) must produce the byte-identical details dict to
+    the XLA device path, across tail windows, mutated contigs, indel-rich
+    chimeras, unalignable junk, duplicates, and empties."""
+    from genome_assembly_tpu.native import graphcore
+
+    if not graphcore.available():
+        pytest.skip("libgraphcore.so not built")
+    r = random.Random(20)
+    genome = random_dna(r, 1800)
+    contigs = []
+    for _ in range(80):
+        i = r.randrange(len(genome) - 300)
+        q = list(genome[i:i + r.randint(15, 280)])
+        for _ in range(r.randint(0, 30)):
+            t = r.randrange(len(q))
+            op = r.random()
+            if op < 0.7:
+                q[t] = r.choice("ACGT".replace(q[t], ""))
+            elif op < 0.85:
+                q.insert(t, r.choice("ACGT"))
+            elif len(q) > 2:
+                q.pop(t)
+        contigs.append("".join(q))
+    # chimeric: two distant genome segments glued (multi-diagonal path)
+    contigs.append(genome[100:220] + genome[1500:1640])
+    contigs += [random_dna(r, 150), "", contigs[0], genome[-25:]]
+    d_native = align_contigs_to_reference(contigs, genome, 100,
+                                          executor="native")
+    d_xla = align_contigs_to_reference(contigs, genome, 100,
+                                       executor="xla")
+    assert list(d_native) == list(d_xla)
+    assert d_native == d_xla
+
+
+def test_seed_diagonals_batch_matches_legacy():
+    """The vectorized batched seeder must agree with the per-contig dict
+    seeder (advisor round 3: the dict index + Python vote loop were the
+    host wall) on hit presence and d0, and its [d_lo, d_hi] range must
+    contain every legacy d0."""
+    from genome_assembly_tpu.ops.smith_waterman import (
+        genome_kmer_index,
+        seed_diagonal,
+        seed_diagonals_batch,
+    )
+
+    r = random.Random(21)
+    genome = random_dna(r, 2200)
+    gidx = genome_kmer_index(genome, 15)
+    contigs = []
+    for _ in range(120):
+        i = r.randrange(len(genome) - 260)
+        q = list(genome[i:i + r.randint(10, 250)])
+        for _ in range(r.randint(0, 15)):
+            t = r.randrange(len(q))
+            q[t] = r.choice("ACGT".replace(q[t], ""))
+        contigs.append("".join(q))
+    contigs += [random_dna(r, 140), "ACGT"]
+    d0, d_lo, d_hi, has = seed_diagonals_batch(contigs, genome, k=15)
+    for i, c in enumerate(contigs):
+        legacy = seed_diagonal(c, gidx, len(genome), k=15)
+        if legacy is None:
+            assert not has[i]
+        else:
+            assert has[i]
+            assert int(d0[i]) == legacy
+            assert d_lo[i] <= legacy <= d_hi[i]
