@@ -41,7 +41,7 @@ def cmd_assemble(args) -> int:
         contigs, measures, _, _ = test_assembly(
             genome, args.l, args.n, args.p, args.k, args.name, 1,
             path=args.plots, rng=rng, np_rng=np_rng, verbose=args.verbose,
-            banded=args.banded)
+            banded=args.banded, exact_parity=not args.fast_layout)
     print(f"contigs: {len(contigs)}")
     for name, value in measures.items():
         print(f"{name}: {value}")
@@ -103,6 +103,10 @@ def main(argv=None) -> int:
                     const=False,
                     help="force the full-width (reference-shape) SW for "
                          "the metrics pass")
+    pa.add_argument("--fast-layout", action="store_true",
+                    help="greedy best-overlap chaining layout instead of "
+                         "the reference-parity cycle-removal/topo/walk "
+                         "stack (faster; different contig semantics)")
     pa.add_argument("--trace", action="store_true",
                     help="print the per-stage wall-time/throughput table")
     pa.add_argument("--profile", default=None, metavar="DIR",

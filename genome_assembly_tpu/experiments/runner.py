@@ -30,13 +30,16 @@ def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
                   rng: random.Random | None = None,
                   np_rng: np.random.RandomState | None = None,
                   plot_hooks=None, device: bool = True, use_native: bool = True,
-                  verbose: bool = False, banded: bool | str = "auto"):
+                  verbose: bool = False, banded: bool | str = "auto",
+                  exact_parity: bool = True):
     """Run one assembly simulation; returns
     (contigs, measures, contigs_alignment_details, error_prone_reads).
     `banded` controls the metrics-pass SW: "auto" (default) bands large
     full-genome contig batches with seeded per-contig bands and
     full-width fallback; True forces banding; False forces the
-    full-width reference shape."""
+    full-width reference shape. `exact_parity=False` switches the layout
+    to the fast greedy-chaining mode (graph/greedy.py; documented
+    non-parity semantics)."""
     with stage("simulate.reads", items=N):
         error_free = generate_error_free_reads(genome, l, N, rng=rng)
         error_prone = generate_error_prone_reads(error_free, error_prob,
@@ -46,7 +49,7 @@ def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
               "experiment_name": experiment_name, "num_iteration": num_iteration}
     contigs = assemble_contigs_using_overlap_graphs(
         error_prone, k=k, params=params, device=device, use_native=use_native,
-        verbose=verbose)
+        verbose=verbose, exact_parity=exact_parity)
 
     with stage("metrics.calculate", items=len(contigs)):
         measures, details = calculate_measures(

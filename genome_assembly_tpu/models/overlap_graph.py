@@ -19,7 +19,8 @@ def assemble_contigs_using_overlap_graphs(reads: list[str], k: int = 5,
                                           params: dict | None = None,
                                           device: bool = True,
                                           use_native: bool = True,
-                                          verbose: bool = False) -> list[str]:
+                                          verbose: bool = False,
+                                          exact_parity: bool = True) -> list[str]:
     """Assemble contigs from reads.
 
     Args:
@@ -29,6 +30,12 @@ def assemble_contigs_using_overlap_graphs(reads: list[str], k: int = 5,
             signature parity, overlapGraphs.py:151).
         device: score candidate pairs on the accelerator.
         use_native: use the C++ graph engine when available.
+        exact_parity: True (default) reproduces the reference layout
+            bit-for-bit (greedy weakest-edge cycle removal -> topo ->
+            walk); False switches to the fast greedy best-overlap
+            chaining layout (graph/greedy.py) — one O(E log E) sort +
+            linear accept pass instead of the sequential cycle loop,
+            different (documented) contig semantics.
 
     Every stage feeds the global tracer (utils/tracing.py); print a table
     with `genome_assembly_tpu.utils.tracing.global_tracer().report()` or
@@ -37,6 +44,14 @@ def assemble_contigs_using_overlap_graphs(reads: list[str], k: int = 5,
     def log(msg):
         if verbose:
             print(msg)
+
+    if not exact_parity:
+        from ..graph.greedy import assemble_contigs_greedy
+
+        log(f"Fast-layout assembly (k={k}, reads={len(reads)})...")
+        with stage("graph.greedy_layout"):
+            return assemble_contigs_greedy(reads, k=k, device=device,
+                                           use_native=use_native)
 
     log(f"Constructing overlap graph (k={k}, reads={len(reads)})...")
     with stage("graph.build"):

@@ -510,6 +510,45 @@ int64_t gc_local_align(int64_t n, int64_t m, const int8_t* q, const int8_t* r,
   return steps;
 }
 
+// Greedy best-overlap chain acceptance (the fast non-parity layout mode,
+// graph/greedy.py): edges arrive via `order` (score-desc, stable); accept
+// (u -> v) iff u has no successor, v has no predecessor, and u, v are on
+// different chains (union-find with path halving), so accepted edges form
+// simple chains. One linear pass replaces the reference's whole
+// cycle-removal / topo / walk stack (overlapGraphs.py:106-193) when exact
+// parity is not required. Returns the number of accepted edges; fills
+// succ[u] (successor node or -1) and chain_edge[u] (the accepted edge).
+int64_t gc_greedy_chain(int64_t n_nodes, int64_t n_edges, const int32_t* src,
+                        const int32_t* dst, const int64_t* order,
+                        int32_t* succ, int32_t* pred, int64_t* chain_edge) {
+  std::vector<int64_t> parent(n_nodes);
+  for (int64_t i = 0; i < n_nodes; ++i) parent[i] = i;
+  for (int64_t i = 0; i < n_nodes; ++i) succ[i] = -1;
+  for (int64_t i = 0; i < n_nodes; ++i) pred[i] = -1;
+  for (int64_t i = 0; i < n_nodes; ++i) chain_edge[i] = -1;
+  auto find = [&](int64_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];  // path halving
+      x = parent[x];
+    }
+    return x;
+  };
+  int64_t accepted = 0;
+  for (int64_t i = 0; i < n_edges; ++i) {
+    const int64_t e = order[i];
+    const int64_t u = src[e], v = dst[e];
+    if (succ[u] != -1 || pred[v] != -1 || u == v) continue;
+    const int64_t ru = find(u), rv = find(v);
+    if (ru == rv) continue;
+    parent[ru] = rv;
+    succ[u] = (int32_t)v;
+    pred[v] = (int32_t)u;
+    chain_edge[u] = e;
+    ++accepted;
+  }
+  return accepted;
+}
+
 // Batched Smith-Waterman with identical semantics to gc_local_align, for
 // the host metrics pass (contig -> genome alignment). Every reference
 // window the metrics use (aligners.py:170-202) is a SUFFIX of the genome:

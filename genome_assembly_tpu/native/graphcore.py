@@ -92,6 +92,17 @@ def _try_load(path):
                 np.ctypeslib.ndpointer(np.int32),         # score out
                 np.ctypeslib.ndpointer(np.int32),         # end out
             ]
+            lib.gc_greedy_chain.restype = ctypes.c_longlong
+            lib.gc_greedy_chain.argtypes = [
+                ctypes.c_longlong,                        # n_nodes
+                ctypes.c_longlong,                        # n_edges
+                np.ctypeslib.ndpointer(np.int32),         # src
+                np.ctypeslib.ndpointer(np.int32),         # dst
+                np.ctypeslib.ndpointer(np.int64),         # order
+                np.ctypeslib.ndpointer(np.int32),         # succ out
+                np.ctypeslib.ndpointer(np.int32),         # pred out
+                np.ctypeslib.ndpointer(np.int64),         # chain_edge out
+            ]
             lib.gc_local_align_batch.restype = ctypes.c_longlong
             lib.gc_local_align_batch.argtypes = [
                 ctypes.c_longlong,                        # B
@@ -182,6 +193,25 @@ def local_align(query: str, reference: str, match_score: int = 10,
     ar, aq, start = replay_ops_host(ops[:steps], int(bi[0]), int(bj[0]),
                                     query, reference)
     return ar, aq, int(score[0]), start, int(bj[0])
+
+
+def greedy_chain(n_nodes: int, src, dst, order):
+    """C++ greedy best-overlap chain acceptance (fast layout mode).
+
+    Returns (succ, chain_edge): succ[u] = accepted successor (-1 none),
+    chain_edge[u] = accepted edge index for the u -> succ[u] link.
+    Identical by construction to graph.greedy.greedy_chain_python.
+    """
+    lib = _load()
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    succ = np.empty(n_nodes, np.int32)
+    pred = np.empty(n_nodes, np.int32)
+    chain_edge = np.empty(n_nodes, np.int64)
+    lib.gc_greedy_chain(n_nodes, len(order), src, dst, order, succ, pred,
+                        chain_edge)
+    return succ, chain_edge
 
 
 def local_align_batch_suffix_windows(queries: list[str], genome_codes,
