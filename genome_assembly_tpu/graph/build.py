@@ -142,6 +142,21 @@ def candidate_pairs_arrays(unique_reads: list[str], k: int,
     return ia, ib
 
 
+def _native_scorer_available() -> bool:
+    """True when pair scoring should run on the C++ engine: the JAX
+    backend is CPU (no accelerator) and libgraphcore.so is loadable."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        return False
+    try:
+        from ..native import graphcore
+
+        return graphcore.available()
+    except Exception:
+        return False
+
+
 def _pairs_to_arrays(pairs):
     """Normalize a pair spec — list[(ua, ub)] or an (ia, ib) array tuple —
     to int32 index arrays."""
@@ -181,6 +196,15 @@ def _score_pairs_impl(unique_reads: list[str], ia, ib, chunk, device):
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     width = max(len(r) for r in unique_reads)
     u_count = len(unique_reads)
+    if device and _native_scorer_available():
+        # CPU-backend executor swap (same policy as the metrics pass,
+        # metrics/align_to_ref.py): no accelerator behind `device=True`
+        # means the XLA:CPU one-hot-matmul path, ~100x slower than the
+        # C++ loop on the same host — results are bit-identical
+        from ..native import graphcore
+
+        left, lens = encode_batch(unique_reads, width=width, align="left")
+        return graphcore.overlap_nogap_pairs(left, lens, ia, ib)
     if device and n_pairs * 20 >= u_count * u_count:
         import jax
         import jax.numpy as jnp

@@ -549,6 +549,57 @@ int64_t gc_greedy_chain(int64_t n_nodes, int64_t n_edges, const int32_t* src,
   return accepted;
 }
 
+// No-gap overlap scoring over candidate index pairs — the CPU-backend
+// executor for graph/build.py score_pairs (the XLA:CPU path runs the
+// one-hot matmul formulation at ~20k pairs/s on this host class; this
+// loop runs it >100x faster). Semantics identical to
+// ops/overlap.py::overlap_scores (SURVEY §2.2-C1 no-gap degeneration of
+// the reference DP, aligners.py:6-82): for j in 0..len(b), with
+// d = min(len(a), j), score = match*eq + mismatch*(d - eq) over a's last
+// d chars vs b[j-d..j); first strict maximum over j wins (j=0 scores 0).
+int64_t gc_overlap_nogap_pairs(int64_t n_pairs, int64_t stride,
+                               const int8_t* reads, const int32_t* lens,
+                               const int32_t* ia, const int32_t* ib,
+                               int64_t match, int64_t mismatch,
+                               int32_t* score_out, int32_t* end_out,
+                               int64_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> cursor{0};
+  const int64_t diff = match - mismatch;
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t p = cursor.fetch_add(256);
+      if (p >= n_pairs) return;
+      const int64_t hi = p + 256 < n_pairs ? p + 256 : n_pairs;
+      for (int64_t q = p; q < hi; ++q) {
+        const int8_t* a = reads + (int64_t)ia[q] * stride;
+        const int8_t* b = reads + (int64_t)ib[q] * stride;
+        const int64_t n = lens[ia[q]], m = lens[ib[q]];
+        int64_t best = 0, bj = 0;  // j = 0 always scores 0
+        for (int64_t j = 1; j <= m; ++j) {
+          const int64_t d = n < j ? n : j;
+          const int8_t* sa = a + (n - d);
+          const int8_t* sb = b + (j - d);
+          int64_t eq = 0;
+          for (int64_t u = 0; u < d; ++u) eq += (sa[u] == sb[u]);
+          const int64_t v = diff * eq + mismatch * d;
+          if (v > best) { best = v; bj = j; }
+        }
+        score_out[q] = (int32_t)best;
+        end_out[q] = (int32_t)bj;
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return n_pairs;
+}
+
 // Batched Smith-Waterman with identical semantics to gc_local_align, for
 // the host metrics pass (contig -> genome alignment). Every reference
 // window the metrics use (aligners.py:170-202) is a SUFFIX of the genome:

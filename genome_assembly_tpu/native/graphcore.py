@@ -92,6 +92,20 @@ def _try_load(path):
                 np.ctypeslib.ndpointer(np.int32),         # score out
                 np.ctypeslib.ndpointer(np.int32),         # end out
             ]
+            lib.gc_overlap_nogap_pairs.restype = ctypes.c_longlong
+            lib.gc_overlap_nogap_pairs.argtypes = [
+                ctypes.c_longlong,                        # n_pairs
+                ctypes.c_longlong,                        # stride (width)
+                np.ctypeslib.ndpointer(np.int8),          # reads (U, W)
+                np.ctypeslib.ndpointer(np.int32),         # lens
+                np.ctypeslib.ndpointer(np.int32),         # ia
+                np.ctypeslib.ndpointer(np.int32),         # ib
+                ctypes.c_longlong,                        # match
+                ctypes.c_longlong,                        # mismatch
+                np.ctypeslib.ndpointer(np.int32),         # score out
+                np.ctypeslib.ndpointer(np.int32),         # end out
+                ctypes.c_longlong,                        # n_threads
+            ]
             lib.gc_greedy_chain.restype = ctypes.c_longlong
             lib.gc_greedy_chain.argtypes = [
                 ctypes.c_longlong,                        # n_nodes
@@ -193,6 +207,31 @@ def local_align(query: str, reference: str, match_score: int = 10,
     ar, aq, start = replay_ops_host(ops[:steps], int(bi[0]), int(bj[0]),
                                     query, reference)
     return ar, aq, int(score[0]), start, int(bj[0])
+
+
+def overlap_nogap_pairs(reads_mat, lens, ia, ib, match_score: int = 10,
+                        mismatch: int = -1, n_threads: int | None = None):
+    """C++ no-gap overlap scoring over candidate index pairs.
+
+    reads_mat: (U, W) int8 LEFT-aligned unique-read codes; lens: (U,)
+    int32; ia/ib: (P,) int32 pair indices. Returns (score, end) int32
+    (P,) arrays — bit-identical to ops.overlap.overlap_scores on the
+    same pairs (differential-tested)."""
+    lib = _load()
+    reads_mat = np.ascontiguousarray(reads_mat, dtype=np.int8)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    ia = np.ascontiguousarray(ia, dtype=np.int32)
+    ib = np.ascontiguousarray(ib, dtype=np.int32)
+    n_pairs = len(ia)
+    score = np.empty(n_pairs, np.int32)
+    end = np.empty(n_pairs, np.int32)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+    if n_pairs:
+        lib.gc_overlap_nogap_pairs(n_pairs, reads_mat.shape[1], reads_mat,
+                                   lens, ia, ib, match_score, mismatch,
+                                   score, end, n_threads)
+    return score, end
 
 
 def greedy_chain(n_nodes: int, src, dst, order):

@@ -127,3 +127,34 @@ def test_full_dp_default_indel_matches_nogap_kernel():
     score_k, end_k = _run_kernel(cases)
     assert (np.asarray(score_f) == score_k).all()
     assert (np.asarray(end_f) == end_k).all()
+
+
+def test_native_pair_scorer_bit_identical(rng):
+    """The C++ CPU-backend pair scorer (gc_overlap_nogap_pairs, the
+    round-4 executor swap for graph.build.score_pairs on hosts without an
+    accelerator) must match ops.overlap.overlap_scores bit-for-bit on
+    ragged reads with planted overlaps and duplicates."""
+    import numpy as np
+
+    from genome_assembly_tpu.native import graphcore
+
+    if not graphcore.available():
+        import pytest
+
+        pytest.skip("libgraphcore.so not built")
+    reads = [random_dna(rng, rng.randint(5, 60)) for _ in range(120)]
+    for i in range(0, 120, 3):
+        j = (i * 7 + 5) % 120
+        ov = rng.randint(3, min(len(reads[i]), len(reads[j])))
+        reads[j] = reads[i][-ov:] + reads[j][ov:]
+    width = max(map(len, reads))
+    left, lens = encode_batch(reads, width=width, align="left")
+    ia = np.array([rng.randrange(120) for _ in range(800)], np.int32)
+    ib = np.array([rng.randrange(120) for _ in range(800)], np.int32)
+    s_c, e_c = graphcore.overlap_nogap_pairs(left, lens, ia, ib)
+    r = right_align(jnp.asarray(left), jnp.asarray(lens))
+    s_x, e_x = overlap_scores(jnp.asarray(np.asarray(r)[ia]),
+                              jnp.asarray(lens[ia]),
+                              jnp.asarray(left[ib]), jnp.asarray(lens[ib]))
+    np.testing.assert_array_equal(s_c, np.asarray(s_x))
+    np.testing.assert_array_equal(e_c, np.asarray(e_x))
