@@ -98,7 +98,7 @@ def main():
     # dominates the measurement (round-2 bench: REP=20, ~1.5 ms/sweep of
     # pure fetch latency hiding the actual ~0.5 ms kernel). The acc chain
     # serializes the sweeps; the fetch forces them all.
-    ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2" if quick else "10"))
+    ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2" if quick else "50"))
     ld = jax.device_put(jnp.asarray(lengths))
     variants = [jax.device_put(jnp.asarray(np.roll(codes, i + 1, axis=0)))
                 for i in range(REP)]
@@ -125,11 +125,17 @@ def main():
     one = timed_chain(1)                    # REP sweeps + 1 fetch
     full = timed_chain(ROUNDS)              # ROUNDS*REP sweeps + 1 fetch
     sweeps = REP * ROUNDS
-    dt = full / sweeps
+    dt = full / sweeps                      # SUSTAINED: includes 1/sweeps
+    #                                         of the dispatch+fetch trip
     # overhead of one dispatch+fetch round trip (for the artifact; the
     # subtraction assumes the per-sweep cost is chain-length-invariant)
     fetch_ms = round(max(0.0, (one * ROUNDS - full) / (ROUNDS - 1) / 1e-3),
                      1) if ROUNDS > 1 else None  # NaN is not valid JSON
+    # KERNEL-RESIDENT: the same two chains differenced — the fetch trip
+    # cancels, leaving pure per-sweep device time (VERDICT round 3,
+    # weak #7: report both numbers as separate fields)
+    dt_kernel = ((full - one) / (REP * (ROUNDS - 1))
+                 if ROUNDS > 1 and full > one else dt)
     device_pps = N * N / dt
 
     # achieved matmul FLOP/s of the sweep (main contraction + in-kernel
@@ -183,6 +189,9 @@ def main():
         "tflops": round(tflops, 2),
         "mfu": round(tflops / peak, 4),
         "sweep_us": round(dt * 1e6, 1),
+        "kernel_sweep_us": round(dt_kernel * 1e6, 1),
+        "kernel_pairs_per_sec": round(N * N / dt_kernel, 1),
+        "mfu_kernel_resident": round(flops / dt_kernel / 1e12 / peak, 4),
         "dispatch_fetch_overhead_ms": fetch_ms,
         "sweeps_per_fetch": sweeps,
     }))
