@@ -259,7 +259,34 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
     # banded batches: grouped by (query bucket, band); the genome rides
     # along once per batch as a shared (1, m) row
     suspects: list[tuple[str, str, int]] = []
-    if banded_groups:
+    use_native = (executor == "native"
+                  or (executor == "auto" and _native_executor_available()))
+    if banded_groups and use_native:
+        # C++ banded executor (bit-identical to the device kernel,
+        # differential-tested): no shape-class padding needed, one call
+        # per band group
+        from ..core.encoding import encode
+        from ..native import graphcore
+
+        genome_codes = encode(reference_genome)
+        for (_, bb), items in banded_groups.items():
+            qs = [c for c, _ in items]
+            d0_arr = np.array([d for _, d in items], np.int32)
+            best, bi, bj, steps, ops = graphcore.local_align_banded_batch(
+                qs, genome_codes, d0_arr, bb, match_score=match_score,
+                mismatch=mismatch, indel=indel)
+            for idx, (c, d0) in enumerate(items):
+                if int(best[idx]) == 0 or _band_edge_contact(
+                        ops[idx, :steps[idx]], int(bi[idx]),
+                        int(bj[idx]), d0, bb):
+                    suspects.append((c, reference_genome, 0))
+                    continue
+                ar, aq, start = replay_ops_host(
+                    ops[idx, :steps[idx]], bi[idx], bj[idx], c,
+                    reference_genome)
+                details[c] = _details_entry(
+                    ar, aq, int(best[idx]), start, int(bj[idx]))
+    elif banded_groups:
         from ..ops.smith_waterman import local_align_batch_banded
 
         m_pad = _pad128(genome_len)
@@ -297,8 +324,6 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
                         ar, aq, int(best[idx]), start, int(bj[idx]))
 
     fw_items = full_items + suspects
-    use_native = (executor == "native"
-                  or (executor == "auto" and _native_executor_available()))
     if use_native and fw_items:
         _align_full_width_native(fw_items, details, reference_genome,
                                  match_score, mismatch, indel)

@@ -549,6 +549,115 @@ int64_t gc_greedy_chain(int64_t n_nodes, int64_t n_edges, const int32_t* src,
   return accepted;
 }
 
+// Diagonal-banded Smith-Waterman over one shared genome — the CPU-backend
+// executor for the banded metrics path (ops/smith_waterman.py
+// local_align_batch_banded semantics, bit for bit): the DP is restricted
+// to |j - i - d0| <= band around a per-item seeded center diagonal; SW's
+// 0 clamp makes the band boundary behave exactly like a fresh local
+// start, so this is full SW restricted to in-band paths. Emits the same
+// backwards op stream as gc_local_align_batch; i/j returned in GLOBAL
+// genome coordinates. Row work is O(band), so a G-length genome costs
+// O(n * band) per contig instead of O(n * G).
+int64_t gc_local_align_banded_batch(
+    int64_t B, int64_t q_stride, const int8_t* q, const int32_t* q_len,
+    int64_t m, const int8_t* genome, const int32_t* d0, int64_t band,
+    int64_t match, int64_t mismatch, int64_t indel, int64_t ops_stride,
+    int32_t* out_score, int32_t* out_bi, int32_t* out_bj,
+    int32_t* out_steps, uint8_t* ops_out, int64_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const int64_t wb = 2 * band + 1;
+  std::atomic<int64_t> cursor{0};
+  auto worker = [&]() {
+    std::vector<int64_t> prev, cur;
+    std::vector<uint8_t> tb;
+    for (;;) {
+      const int64_t p = cursor.fetch_add(1);
+      if (p >= B) return;
+      const int64_t n = q_len[p];
+      const int8_t* qp = q + p * q_stride;
+      const int64_t c0 = d0[p];
+      if ((int64_t)prev.size() < wb + 2) {
+        prev.resize(wb + 2);
+        cur.resize(wb + 2);
+      }
+      if ((int64_t)tb.size() < (n + 1) * wb) tb.resize((n + 1) * wb);
+      // band coordinates: t in [0, wb), global j = c0 - band + i + t.
+      // prev[t+1] holds dp[i-1] at band slot t (1-based padding gives
+      // free neg-inf walls); moves: diag (i-1, t), up (i-1, t+1),
+      // left (i, t-1).
+      const int64_t NEGI = INT64_MIN / 4;
+      for (int64_t t = 0; t < wb + 2; ++t) prev[t] = NEGI;
+      int64_t best = 0, bi = 0, bt = 0;
+      for (int64_t i = 1; i <= n; ++i) {
+        const int8_t qi = qp[i - 1];
+        const int64_t jlo = c0 - band + i;     // global j at t = 0
+        uint8_t* tbrow = &tb[i * wb];
+        cur[0] = NEGI;
+        cur[wb + 1] = NEGI;
+        for (int64_t t = 0; t < wb; ++t) {
+          const int64_t j = jlo + t;
+          if (j < 1 || j > m) {               // outside the genome
+            cur[t + 1] = NEGI;
+            tbrow[t] = 0;
+            continue;
+          }
+          // in-band predecessors; NEGI marks both the band walls and
+          // out-of-genome slots. The device kernel stores 0 at
+          // out-of-genome slots and lets the local-alignment 0 clamp
+          // absorb them; mapping NEGI -> 0 for the diag move reproduces
+          // that exactly, and gap moves from NEGI sources can never win
+          // the >= 0 cascade either way (selection-equivalent).
+          const int64_t pd = prev[t + 1];
+          const int64_t diag =
+              (pd == NEGI ? 0 : pd) + (qi == genome[j - 1] ? match : mismatch);
+          const int64_t up = (prev[t + 2] == NEGI ? NEGI : prev[t + 2] + indel);
+          const int64_t left = (cur[t] == NEGI ? NEGI : cur[t] + indel);
+          int64_t v = 0;
+          uint8_t code = 0;
+          if (diag >= up && diag >= left && diag >= 0) { v = diag; code = 1; }
+          else if (up >= left && up >= 0) { v = up; code = 2; }
+          else if (left >= 0) { v = left; code = 3; }
+          cur[t + 1] = v;
+          tbrow[t] = v > 0 ? code : 0;
+          if (v > best) { best = v; bi = i; bt = t; }
+        }
+        std::swap(prev, cur);
+      }
+      if (best <= 0) {
+        out_score[p] = 0;
+        out_bi[p] = 0;
+        out_bj[p] = 0;
+        out_steps[p] = 0;
+        continue;
+      }
+      out_score[p] = (int32_t)best;
+      out_bi[p] = (int32_t)bi;
+      out_bj[p] = (int32_t)(c0 - band + bi + bt);
+      uint8_t* op = ops_out + p * ops_stride;
+      int64_t i = bi, t = bt, steps = 0;
+      while (i > 0) {
+        const int64_t j = c0 - band + i + t;
+        if (j <= 0) break;
+        const uint8_t code = tb[i * wb + t];
+        if (code == 0) break;
+        op[steps++] = code;
+        if (code == 1) { --i; }            // diag: (i-1, t)
+        else if (code == 2) { --i; ++t; }  // up:   (i-1, t+1)
+        else { --t; }                      // left: (i, t-1)
+      }
+      out_steps[p] = (int32_t)steps;
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return B;
+}
+
 // No-gap overlap scoring over candidate index pairs — the CPU-backend
 // executor for graph/build.py score_pairs (the XLA:CPU path runs the
 // one-hot matmul formulation at ~20k pairs/s on this host class; this

@@ -92,6 +92,27 @@ def _try_load(path):
                 np.ctypeslib.ndpointer(np.int32),         # score out
                 np.ctypeslib.ndpointer(np.int32),         # end out
             ]
+            lib.gc_local_align_banded_batch.restype = ctypes.c_longlong
+            lib.gc_local_align_banded_batch.argtypes = [
+                ctypes.c_longlong,                        # B
+                ctypes.c_longlong,                        # q_stride
+                np.ctypeslib.ndpointer(np.int8),          # q codes (B, qs)
+                np.ctypeslib.ndpointer(np.int32),         # q_len
+                ctypes.c_longlong,                        # m (genome len)
+                np.ctypeslib.ndpointer(np.int8),          # genome codes
+                np.ctypeslib.ndpointer(np.int32),         # d0 (center diag)
+                ctypes.c_longlong,                        # band
+                ctypes.c_longlong,                        # match
+                ctypes.c_longlong,                        # mismatch
+                ctypes.c_longlong,                        # indel
+                ctypes.c_longlong,                        # ops_stride
+                np.ctypeslib.ndpointer(np.int32),         # score out
+                np.ctypeslib.ndpointer(np.int32),         # bi out
+                np.ctypeslib.ndpointer(np.int32),         # bj out (global)
+                np.ctypeslib.ndpointer(np.int32),         # steps out
+                np.ctypeslib.ndpointer(np.uint8),         # ops out
+                ctypes.c_longlong,                        # n_threads
+            ]
             lib.gc_overlap_nogap_pairs.restype = ctypes.c_longlong
             lib.gc_overlap_nogap_pairs.argtypes = [
                 ctypes.c_longlong,                        # n_pairs
@@ -207,6 +228,44 @@ def local_align(query: str, reference: str, match_score: int = 10,
     ar, aq, start = replay_ops_host(ops[:steps], int(bi[0]), int(bj[0]),
                                     query, reference)
     return ar, aq, int(score[0]), start, int(bj[0])
+
+
+def local_align_banded_batch(queries: list[str], genome_codes, d0,
+                             band: int, match_score: int = 10,
+                             mismatch: int = -1, indel: int = -1,
+                             n_threads: int | None = None):
+    """Batched C++ diagonal-banded SW against one shared genome
+    (ops/smith_waterman.py local_align_batch_banded semantics).
+
+    d0: (B,) int32 center diagonal per item. Returns
+    (score, bi, bj, steps, ops) with bj in GLOBAL genome coordinates and
+    ops[p, :steps[p]] the backwards path stream (replay with
+    replay_ops_host against the full genome)."""
+    from ..core.encoding import encode_batch
+
+    lib = _load()
+    B = len(queries)
+    genome = np.ascontiguousarray(genome_codes, dtype=np.int8)
+    m = len(genome)
+    q_mat, q_len = encode_batch(queries)
+    q_mat = np.ascontiguousarray(q_mat, dtype=np.int8)
+    d0 = np.ascontiguousarray(d0, dtype=np.int32)
+    q_stride = q_mat.shape[1] if B else 0
+    ops_stride = 2 * q_stride + 2 * band + 1
+    score = np.empty(B, np.int32)
+    bi = np.empty(B, np.int32)
+    bj = np.empty(B, np.int32)
+    steps = np.empty(B, np.int32)
+    ops = np.empty((max(B, 1), max(ops_stride, 1)), np.uint8)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+    if B:
+        lib.gc_local_align_banded_batch(B, q_stride, q_mat, q_len, m,
+                                        genome, d0, band, match_score,
+                                        mismatch, indel, ops.shape[1],
+                                        score, bi, bj, steps, ops,
+                                        n_threads)
+    return score, bi, bj, steps, ops
 
 
 def overlap_nogap_pairs(reads_mat, lens, ia, ib, match_score: int = 10,

@@ -241,3 +241,36 @@ def test_seed_diagonals_batch_matches_legacy():
             assert has[i]
             assert int(d0[i]) == legacy
             assert d_lo[i] <= legacy <= d_hi[i]
+
+
+def test_banded_native_executor_matches_xla():
+    """The C++ banded executor (gc_local_align_banded_batch) must produce
+    the byte-identical details dict to the XLA banded path, including the
+    band-edge-contact full-width redo routing."""
+    from genome_assembly_tpu.native import graphcore
+
+    if not graphcore.available():
+        pytest.skip("libgraphcore.so not built")
+    r = random.Random(31)
+    genome = random_dna(r, 2000)
+    contigs = []
+    for _ in range(60):
+        i = r.randrange(len(genome) - 320)
+        q = list(genome[i:i + r.randint(110, 300)])
+        for _ in range(r.randint(0, 25)):
+            t = r.randrange(len(q))
+            op = r.random()
+            if op < 0.7:
+                q[t] = r.choice("ACGT".replace(q[t], ""))
+            elif op < 0.85:
+                q.insert(t, r.choice("ACGT"))
+            elif len(q) > 2:
+                q.pop(t)
+        contigs.append("".join(q))
+    contigs.append(genome[100:250] + genome[1500:1700])   # chimeric
+    contigs += [random_dna(r, 160), genome[-30:], ""]
+    d_native = align_contigs_to_reference(contigs, genome, 100,
+                                          banded=True, executor="native")
+    d_xla = align_contigs_to_reference(contigs, genome, 100,
+                                       banded=True, executor="xla")
+    assert d_native == d_xla
