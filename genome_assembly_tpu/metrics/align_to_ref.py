@@ -242,15 +242,32 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
                 full_items.append((c, reference_genome, 0))
                 continue
             spread_half = (int(d_hi[i]) - int(d_lo[i]) + 1) // 2
-            for bb in (band, 2 * band, 4 * band):
-                if spread_half + band // 2 <= bb \
-                        and genome_len >= 2 * (2 * bb + 1):
-                    center = (int(d_lo[i]) + int(d_hi[i])) // 2
-                    banded_groups.setdefault(
-                        (_bucket(len(c)), bb), []).append((c, center))
-                    break
-            else:
+            # geometric band ladder: grow the band until it covers the
+            # seed's diagonal spread — capped at a small multiple of the
+            # contig length, because an optimal-path diagonal excursion of
+            # width w costs w gap steps and the whole remaining contig can
+            # repay at most match_score * n, so drift beyond O(n) cannot
+            # be optimal. A chimeric contig whose exact-hit clusters span
+            # more than the cap gets the capped band CENTERED ON THE
+            # VOTE-MAX diagonal (its best-supported segment — where the
+            # single-segment SW optimum lives when bridging is
+            # unprofitable), with the band-edge-contact redo as the
+            # safety net (round-4 long-genome finding: covering a 50k
+            # spread made wide bands as expensive as full width).
+            bb = band
+            cap = max(4 * band, 8 * len(c))
+            while (bb < spread_half + band // 2
+                   and genome_len >= 2 * (4 * bb + 1) and bb < cap):
+                bb *= 2
+            if genome_len < 2 * (2 * bb + 1):
                 full_items.append((c, reference_genome, 0))
+                continue
+            if spread_half + band // 2 <= bb:
+                center = (int(d_lo[i]) + int(d_hi[i])) // 2
+            else:
+                center = int(d0s[i])
+            banded_groups.setdefault(
+                (_bucket(len(c)), bb), []).append((c, center))
     else:
         full_items.extend((c, reference_genome, 0) for c in full_window)
 

@@ -460,29 +460,30 @@ def replay_ops_host(ops_col: np.ndarray, best_i: int, best_j: int,
 
     Exactly `traceback_host` semantics (reference aligners.py:139-161), but
     reading the path codes from the compact (max_steps,) stream emitted by
-    `traceback_device` instead of the full code matrix.
+    `traceback_device` instead of the full code matrix. Vectorized (one
+    numpy pass over the path instead of a per-step Python loop): at
+    10k-contig metrics scale the replay used to cost more than the C++
+    DP it decodes (round-4 long-genome finding).
     """
-    i, j = int(best_i), int(best_j)
-    aq: list[str] = []
-    ar: list[str] = []
-    for c in ops_col:
-        c = int(c)
-        if c == 0:
-            break
-        if c == 1:
-            aq.append(query[i - 1])
-            ar.append(reference[j - 1])
-            i -= 1
-            j -= 1
-        elif c == 2:
-            aq.append(query[i - 1])
-            ar.append("-")
-            i -= 1
-        else:
-            aq.append("-")
-            ar.append(reference[j - 1])
-            j -= 1
-    return "".join(reversed(ar)), "".join(reversed(aq)), j
+    ops = np.asarray(ops_col)
+    stop = np.nonzero(ops == 0)[0]
+    n = int(stop[0]) if len(stop) else len(ops)
+    if n == 0:
+        return "", "", int(best_j)
+    c = ops[:n]
+    qmove = (c == 1) | (c == 2)              # consumes a query char
+    rmove = (c == 1) | (c == 3)              # consumes a reference char
+    # positions consumed at each (backwards) step: exclusive prefix counts
+    qpos = int(best_i) - 1 - (np.cumsum(qmove) - qmove)
+    rpos = int(best_j) - 1 - (np.cumsum(rmove) - rmove)
+    qb = np.frombuffer(query.encode("ascii"), np.uint8)
+    rb = np.frombuffer(reference.encode("ascii"), np.uint8)
+    dash = np.uint8(ord("-"))
+    aq = np.where(qmove, qb[np.clip(qpos, 0, max(len(qb) - 1, 0))], dash)
+    ar = np.where(rmove, rb[np.clip(rpos, 0, max(len(rb) - 1, 0))], dash)
+    start_j = int(best_j) - int(rmove.sum())
+    return (ar[::-1].tobytes().decode("ascii"),
+            aq[::-1].tobytes().decode("ascii"), start_j)
 
 
 def traceback_host(codes: np.ndarray, best_i: int, best_j: int,

@@ -65,8 +65,12 @@ def main():
 
     out = {"G": G, "N": N, "l": l, "p": p,
            "platform": jax.devices()[0].platform, "rows": []}
+    skip = set(filter(None, os.environ.get(
+        "LONG_GENOME_SKIP", "").split(",")))
     for k in (15, 5):
         for mode, exact in (("fast", False), ("exact", True)):
+            if f"{mode}:{k}" in skip:
+                continue
             tr = global_tracer()
             tr.times.clear(); tr.counts.clear(); tr.items.clear()
             t0 = time.perf_counter()
@@ -92,7 +96,7 @@ def main():
             # banded-vs-full-width agreement on a contig sample (the
             # full-width pass at this G is the wall banded removes; the
             # sample quantifies how often banding changed anything)
-            if mode == "fast" and k == 15:
+            if mode == "fast":
                 sample = [c for c in dict.fromkeys(contigs)
                           if len(c) >= l][:256]
                 t0 = time.perf_counter()
