@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from ..core.encoding import encode_batch
 
 MAX_DEVICE_K = 15  # 2 bits/base: 15-mer packs into 30 bits (grid max, experiments.py:53)
+MAX_HOST_K = 31    # numpy join uses int64 keys: 31-mer + terminator = 63 bits
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -134,6 +135,56 @@ def candidate_pairs_device(unique_reads: list[str], k: int):
     ub = np.asarray(jax.device_get(ub))[:total]
     keep = ua != ub  # reference skips identical reads (overlapGraphs.py:52)
     return ua[keep], ub[keep]
+
+
+def candidate_pairs_numpy(unique_reads: list[str], k: int):
+    """Host mirror of the device sort-join: same key construction, same
+    stable-argsort + searchsorted join, pure numpy — bit-identical pair
+    order to `candidate_pairs` / `candidate_pairs_device`.
+
+    This is the size-aware dispatch's small-problem path (core/dispatch.py):
+    below the device-join threshold the whole join costs less than one
+    tunnel round trip, and unlike the reference's dict probe
+    (overlapGraphs.py:30-49) it is vectorized end to end, so it also
+    replaces the host dict join at every size. int64 keys lift the k cap
+    from 15 (int32 device lanes) to 31.
+    """
+    assert 0 < k <= MAX_HOST_K, f"numpy join supports 1..{MAX_HOST_K}, got k={k}"
+    u_count = len(unique_reads)
+    if u_count == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    left, lens = encode_batch(unique_reads, align="left")
+    codes = left.astype(np.int64)
+    lens64 = lens.astype(np.int64)
+    w = codes.shape[1]
+    m = np.minimum(lens64, k)                          # effective k-mer len
+    pos = np.arange(w, dtype=np.int64)
+    pow4 = np.left_shift(np.int64(1), 2 * np.minimum(pos, MAX_HOST_K))
+    pref_mask = pos[None, :] < m[:, None]
+    pref = np.where(pref_mask, codes * pow4[None, :], 0).sum(axis=1)
+    rel = pos[None, :] - (lens64 - m)[:, None]
+    suf_mask = (rel >= 0) & (rel < m[:, None])
+    sw = np.left_shift(np.int64(1), 2 * np.clip(rel, 0, MAX_HOST_K))
+    suf = np.where(suf_mask, codes * sw, 0).sum(axis=1)
+    term = np.left_shift(np.int64(1), 2 * m)           # 4^m terminator
+    pref += term
+    suf += term
+
+    order = np.argsort(pref, kind="stable")
+    skeys = pref[order]
+    lo = np.searchsorted(skeys, suf, side="left")
+    cnt = np.searchsorted(skeys, suf, side="right") - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    assert total < 2**31, "candidate count exceeds int32 indexing"
+    cum = np.zeros(u_count + 1, dtype=np.int64)
+    np.cumsum(cnt, out=cum[1:])
+    ua = np.repeat(np.arange(u_count, dtype=np.int64), cnt)
+    within = np.arange(total, dtype=np.int64) - cum[ua]
+    ub = order[lo[ua] + within]
+    keep = ua != ub  # reference skips identical reads (overlapGraphs.py:52)
+    return ua[keep].astype(np.int32), ub[keep].astype(np.int32)
 
 
 def candidate_pairs_dense(u_count: int):

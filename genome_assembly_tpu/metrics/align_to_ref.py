@@ -45,20 +45,11 @@ from ..ops.smith_waterman import local_align_batch_ops, replay_ops_host
 _BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 
 
-def _native_executor_available() -> bool:
-    """True when executor="auto" should use the C++ batch aligner: the
-    JAX backend is CPU (no accelerator — the XLA:CPU row-scan is the
-    slow path) and libgraphcore.so is loadable."""
-    import jax
-
-    if jax.default_backend() != "cpu":
-        return False
-    try:
-        from ..native import graphcore
-
-        return graphcore.available()
-    except Exception:
-        return False
+# executor="auto" policy lives in core/dispatch.py (use_host_metrics):
+# C++ batch aligner on CPU backends (the XLA:CPU row-scan is the slow
+# path) and on accelerator backends below the DP-cell threshold, device
+# row-scan above it — shared with the pair-scoring policy so the two
+# cannot drift (advisor finding round 4).
 
 
 def _bucket(n: int) -> int:
@@ -276,8 +267,13 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
     # banded batches: grouped by (query bucket, band); the genome rides
     # along once per batch as a shared (1, m) row
     suspects: list[tuple[str, str, int]] = []
+    from ..core.dispatch import use_host_metrics
+
+    est_cells = sum(len(c) * len(w) for c, w, _ in full_items)
+    for (_, bb), items in banded_groups.items():
+        est_cells += sum(len(c) * (2 * bb + 1) for c, _ in items)
     use_native = (executor == "native"
-                  or (executor == "auto" and _native_executor_available()))
+                  or (executor == "auto" and use_host_metrics(est_cells)))
     if banded_groups and use_native:
         # C++ banded executor (bit-identical to the device kernel,
         # differential-tested): no shape-class padding needed, one call

@@ -22,6 +22,7 @@ from genome_assembly_tpu.graph.build import (
 from genome_assembly_tpu.graph.candidates import (
     candidate_pairs_dense,
     candidate_pairs_device,
+    candidate_pairs_numpy,
 )
 
 
@@ -52,6 +53,63 @@ def test_device_join_short_reads_whole_read_key(rng):
         ea, eb = _expected(unique, k)
         assert ia.tolist() == ea, f"k={k}"
         assert ib.tolist() == eb, f"k={k}"
+
+
+@pytest.mark.parametrize("k", [1, 3, 5, 15, 20, 31])
+def test_numpy_join_matches_host_dict(rng, k):
+    reads = [random_dna(rng, rng.randint(8, 40)) for _ in range(120)]
+    reads += [("ACGT" * 12)[:rng.randint(10, 30)] for _ in range(40)]
+    unique, _ = dedup_reads(reads)
+    ia, ib = candidate_pairs_numpy(unique, k)
+    ea, eb = _expected(unique, k)
+    assert ia.tolist() == ea
+    assert ib.tolist() == eb
+
+
+def test_numpy_join_short_reads_whole_read_key():
+    reads = ["ACG", "ACG" + "T" * 10, "AC", "ACGT", "A", "ACGTA", "CG"]
+    unique, _ = dedup_reads(reads)
+    for k in (2, 4, 6, 31):
+        ia, ib = candidate_pairs_numpy(unique, k)
+        ea, eb = _expected(unique, k)
+        assert ia.tolist() == ea, f"k={k}"
+        assert ib.tolist() == eb, f"k={k}"
+
+
+def test_size_aware_dispatch_policy(monkeypatch):
+    # host engines below the thresholds even with an accelerator attached,
+    # device above (VERDICT round 4, next-step #1)
+    from genome_assembly_tpu.core import dispatch
+
+    monkeypatch.setattr(dispatch, "accelerator_attached", lambda: True)
+    monkeypatch.setattr(dispatch, "_native_available", lambda: True)
+    assert not dispatch.use_device_join(100)
+    assert dispatch.use_device_join(dispatch.min_device_join())
+    assert dispatch.use_host_pair_scoring(100)
+    assert not dispatch.use_host_pair_scoring(dispatch.min_device_pairs())
+    assert dispatch.use_host_metrics(100)
+    assert not dispatch.use_host_metrics(dispatch.min_device_cells())
+    # CPU backend: host engines at every size (no round trip to dodge,
+    # and the XLA:CPU kernels are the slow path)
+    monkeypatch.setattr(dispatch, "accelerator_attached", lambda: False)
+    assert not dispatch.use_device_join(10**9)
+    assert dispatch.use_host_pair_scoring(10**9)
+    assert dispatch.use_host_metrics(10**12)
+    # without the native library the host scorers are unavailable
+    monkeypatch.setattr(dispatch, "_native_available", lambda: False)
+    assert not dispatch.use_host_pair_scoring(100)
+    assert not dispatch.use_host_metrics(100)
+
+
+def test_threshold_env_overrides(monkeypatch):
+    from genome_assembly_tpu.core import dispatch
+
+    monkeypatch.setenv("GA_TPU_MIN_DEVICE_PAIRS", "0")
+    monkeypatch.setenv("GA_TPU_MIN_DEVICE_JOIN", "1")
+    monkeypatch.setenv("GA_TPU_MIN_DEVICE_CELLS", "1e12")
+    assert dispatch.min_device_pairs() == 0
+    assert dispatch.min_device_join() == 1
+    assert dispatch.min_device_cells() == 10**12
 
 
 def test_dense_pairs_rowmajor():
