@@ -41,7 +41,8 @@ def cmd_assemble(args) -> int:
         contigs, measures, _, _ = test_assembly(
             genome, args.l, args.n, args.p, args.k, args.name, 1,
             path=args.plots, rng=rng, np_rng=np_rng, verbose=args.verbose,
-            banded=args.banded, exact_parity=not args.fast_layout)
+            banded=args.banded, exact_parity=not args.fast_layout,
+            consensus=args.consensus)
     print(f"contigs: {len(contigs)}")
     for name, value in measures.items():
         print(f"{name}: {value}")
@@ -104,9 +105,15 @@ def main(argv=None) -> int:
                     help="force the full-width (reference-shape) SW for "
                          "the metrics pass")
     pa.add_argument("--fast-layout", action="store_true",
-                    help="greedy best-overlap chaining layout instead of "
-                         "the reference-parity cycle-removal/topo/walk "
-                         "stack (faster; different contig semantics)")
+                    help="guarded greedy best-overlap chaining layout "
+                         "(with redundancy suppression + consensus) "
+                         "instead of the reference-parity cycle-removal/"
+                         "topo/walk stack (faster; different contig "
+                         "semantics)")
+    pa.add_argument("--consensus", action="store_true",
+                    help="polish exact-parity contigs by pileup majority "
+                         "vote (flagged: corrected sequences are not "
+                         "bit-identical to the reference's)")
     pa.add_argument("--trace", action="store_true",
                     help="print the per-stage wall-time/throughput table")
     pa.add_argument("--profile", default=None, metavar="DIR",

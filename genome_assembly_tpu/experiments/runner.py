@@ -31,15 +31,17 @@ def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
                   np_rng: np.random.RandomState | None = None,
                   plot_hooks=None, device: bool = True, use_native: bool = True,
                   verbose: bool = False, banded: bool | str = "auto",
-                  exact_parity: bool = True):
+                  exact_parity: bool = True, consensus: bool = False):
     """Run one assembly simulation; returns
     (contigs, measures, contigs_alignment_details, error_prone_reads).
-    `banded` controls the metrics-pass SW: "auto" (default) bands large
-    full-genome contig batches with seeded per-contig bands and
-    full-width fallback; True forces banding; False forces the
-    full-width reference shape. `exact_parity=False` switches the layout
-    to the fast greedy-chaining mode (graph/greedy.py; documented
-    non-parity semantics)."""
+    `banded` controls the metrics-pass SW: "auto" (default) bands
+    long-genome runs with seeded, stability-verified per-contig bands
+    and full-width fallback (reference-scale genomes stay full-width);
+    True forces banding; False forces the full-width reference shape.
+    `exact_parity=False` switches the layout to the fast greedy-chaining
+    mode (graph/greedy.py; documented non-parity semantics).
+    `consensus=True` polishes the exact-parity contigs by pileup
+    majority vote (flagged non-parity, graph/consensus.py)."""
     with stage("simulate.reads", items=N):
         error_free = generate_error_free_reads(genome, l, N, rng=rng)
         error_prone = generate_error_prone_reads(error_free, error_prob,
@@ -49,7 +51,7 @@ def test_assembly(genome: str, l: int, N: int, error_prob: float, k: int,
               "experiment_name": experiment_name, "num_iteration": num_iteration}
     contigs = assemble_contigs_using_overlap_graphs(
         error_prone, k=k, params=params, device=device, use_native=use_native,
-        verbose=verbose, exact_parity=exact_parity)
+        verbose=verbose, exact_parity=exact_parity, consensus=consensus)
 
     with stage("metrics.calculate", items=len(contigs)):
         measures, details = calculate_measures(

@@ -1,4 +1,5 @@
 from .build import OverlapGraph, build_overlap_graph
+from .consensus import polish_contigs
 from .cycles import remove_cycles
 from .greedy import assemble_contigs_greedy, greedy_chain
 from .layout import walk_contigs
@@ -9,6 +10,7 @@ __all__ = [
     "assemble_contigs_greedy",
     "build_overlap_graph",
     "greedy_chain",
+    "polish_contigs",
     "remove_cycles",
     "topological_order",
     "walk_contigs",

@@ -21,18 +21,27 @@ the XLA:CPU row-scan runs ~50M cells/s there, while the C++ batch engine
 native on CPU backends and on the device kernel everywhere else — a pure
 executor swap, never a result change.
 
-Banded option (banded=True): routes seeded full-genome contigs through the
-diagonal-banded kernel with a per-contig band sized from the batched k-mer
-seed: the band covers [d_lo, d_hi], the full diagonal range of the contig's
-exact k-mer hits, plus a slack of `band`. Under the substitution-only error
-model (generateErrorProneReads.py:4-45) matches never change diagonal, so
-high-scoring paths live on hit-supported diagonals; paths that press
-against the band edge (or score 0) are re-run full-width, as are contigs
-with no k-mer hit or a diagonal spread too wide to be worth banding. This
-is the long-genome option (O(band) rows): banded == full whenever the band
-covers the optimal path, but full-width SW can bridge distant diagonals
-through sub-seed-length match islands, so exactness is not guaranteed —
-hence it is opt-in, not the default.
+Banded option (banded=True, or banded="auto" on long genomes): routes
+seeded full-genome contigs through the diagonal-banded kernel with a
+per-contig band sized from the batched k-mer seed: the band covers
+[d_lo, d_hi], the full diagonal range of the contig's exact k-mer hits,
+plus a slack of `band`. Under the substitution-only error model
+(generateErrorProneReads.py:4-45) matches never change diagonal, so
+high-scoring paths live on hit-supported diagonals. Every banded result
+is then BAND-STABILITY VERIFIED (VERDICT round 4, next-step #3): the
+alignment is recomputed at twice the band and accepted only when score,
+endpoints, and the full traceback path agree between the two widths
+(and the wider path keeps clear of its band edges); disagreeing contigs
+escalate geometrically until stable, band-capped, or handed to the
+full-width kernel. Full-width SW can in principle bridge distant
+diagonals through sub-seed-length match islands invisible to any finite
+band — such a bridge manifests as band-to-band disagreement and
+escalates — so banded results carry an explicit verification rather
+than a hope. banded="auto" (the default) applies banding only when the
+genome is long enough for the O(band) saving to matter
+(GA_TPU_BANDED_AUTO_MIN, default 16384 bp — every reference experiment
+runs on the 5386 bp PhiX and therefore stays on the exact full-width
+path); banded=False forces full-width everywhere.
 """
 
 from __future__ import annotations
@@ -158,6 +167,90 @@ def _align_full_width(items: list[tuple[str, str, int]], details: dict,
                     int(bj[idx]) + offset)
 
 
+def _banded_auto_min() -> int:
+    """Genome length above which banded="auto" switches the metrics pass
+    to verified banding (the reference's own experiments run on the
+    5386 bp PhiX and stay below it, i.e. exact full-width)."""
+    import os
+
+    try:
+        return int(os.environ.get("GA_TPU_BANDED_AUTO_MIN", 16384))
+    except ValueError:
+        return 16384
+
+
+def _trim_ops(ops_1d: np.ndarray) -> np.ndarray:
+    """Cut a traceback op stream at its terminator (eases comparison)."""
+    stop = np.nonzero(ops_1d == 0)[0]
+    return ops_1d[:int(stop[0])] if len(stop) else ops_1d
+
+
+def _banded_exec_native(items, reference_genome, match_score, mismatch,
+                        indel):
+    """Run the C++ banded executor over (contig, d0, band) items; returns
+    a per-item list of (best, bi, bj, ops) with ops trimmed."""
+    from ..core.encoding import encode
+    from ..native import graphcore
+
+    genome_codes = encode(reference_genome)
+    out = [None] * len(items)
+    groups: dict[int, list[int]] = {}
+    for i, (_, _, bb) in enumerate(items):
+        groups.setdefault(bb, []).append(i)
+    for bb, idxs in groups.items():
+        qs = [items[i][0] for i in idxs]
+        d0_arr = np.array([items[i][1] for i in idxs], np.int32)
+        best, bi, bj, steps, ops = graphcore.local_align_banded_batch(
+            qs, genome_codes, d0_arr, bb, match_score=match_score,
+            mismatch=mismatch, indel=indel)
+        for row, i in enumerate(idxs):
+            out[i] = (int(best[row]), int(bi[row]), int(bj[row]),
+                      ops[row, :int(steps[row])].copy())
+    return out
+
+
+def _banded_exec_device(items, reference_genome, match_score, mismatch,
+                        indel, max_batch):
+    """Device-kernel twin of `_banded_exec_native` (bit-identical,
+    differential-tested); groups by (length bucket, band) shape class."""
+    import jax.numpy as jnp
+
+    from ..ops.smith_waterman import local_align_batch_banded
+
+    genome_len = len(reference_genome)
+    m_pad = _pad128(genome_len)
+    r_mat, _ = encode_batch([reference_genome], width=m_pad)
+    out = [None] * len(items)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (c, _, bb) in enumerate(items):
+        groups.setdefault((_bucket(len(c)), bb), []).append(i)
+    for (n_pad, bb), idxs in groups.items():
+        for lo in range(0, len(idxs), max_batch):
+            sel = idxs[lo:lo + max_batch]
+            b_pad = 8
+            while b_pad < len(sel):
+                b_pad *= 2
+            fill = b_pad - len(sel)
+            qs = [items[i][0] for i in sel] + [""] * fill
+            d0_arr = np.array([items[i][1] for i in sel] + [0] * fill,
+                              np.int32)
+            q_mat, q_len = encode_batch(qs, width=n_pad)
+            r_len = np.full((b_pad,), genome_len, np.int32)
+            best, bi, bj, ops, _ = local_align_batch_banded(
+                jnp.asarray(q_mat), jnp.asarray(q_len),
+                jnp.asarray(r_mat), jnp.asarray(r_len),
+                jnp.asarray(d0_arr), bb, match_score=match_score,
+                mismatch=mismatch, indel=indel)
+            best = np.asarray(best)
+            bi = np.asarray(bi)
+            bj = np.asarray(bj)
+            ops = np.asarray(ops)
+            for col, i in enumerate(sel):
+                out[i] = (int(best[col]), int(bi[col]), int(bj[col]),
+                          _trim_ops(ops[:, col]).copy())
+    return out
+
+
 def _band_edge_contact(ops_col: np.ndarray, best_i: int, best_j: int,
                        d0: int, band: int, margin: int = 2) -> bool:
     """True when the replayed path ever comes within `margin` cells of a
@@ -186,14 +279,19 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
     performanceMeasures.py:219-230).
 
     banded:
-      "auto" / False (default) — full-width for everything (the
-        reference's DP shape, aligners.py:85-167). Results are exact.
-      True — banded SW for seeded full-genome-window contigs (the
-        long-genome option): per-contig band = the seed's diagonal range
-        [d_lo, d_hi] plus `band` slack, bucketed to {band, 2*band,
-        4*band}; wider spreads, unseeded contigs, band-edge contact, and
-        zero banded scores all fall back to full-width. See the module
-        docstring for why this is opt-in.
+      "auto" (default) — full-width below GA_TPU_BANDED_AUTO_MIN
+        (16384 bp; covers every reference experiment — exact results),
+        stability-verified banding above it (the long-genome regime).
+      False — full-width for everything (the reference's DP shape,
+        aligners.py:85-167). Results are exact.
+      True — force banded SW for seeded full-genome-window contigs:
+        per-contig band = the seed's diagonal range [d_lo, d_hi] plus
+        `band` slack; every result is re-computed at 2x the band and
+        accepted only when the two widths agree exactly (score,
+        endpoints, traceback) with no band-edge contact, escalating
+        geometrically otherwise; unseeded contigs, zero scores, capped
+        escalation, and near-genome-width bands all fall back to the
+        full-width kernel. See the module docstring.
 
     executor (full-width pass only):
       "auto" (default) — the C++ batch engine on CPU backends (the
@@ -220,9 +318,11 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
         else:
             full_window.append(c)
 
-    use_banded = banded is True
+    use_banded = banded is True or (banded == "auto"
+                                    and genome_len >= _banded_auto_min())
 
-    banded_groups: dict[tuple[int, int], list[tuple[str, int]]] = {}
+    # (contig, center diag, initial band, band cap)
+    banded_items: list[tuple[str, int, int, int]] = []
     if use_banded and full_window:
         from ..ops.smith_waterman import seed_diagonals_batch
 
@@ -242,99 +342,89 @@ def align_contigs_to_reference(contigs: list[str], reference_genome: str,
             # more than the cap gets the capped band CENTERED ON THE
             # VOTE-MAX diagonal (its best-supported segment — where the
             # single-segment SW optimum lives when bridging is
-            # unprofitable), with the band-edge-contact redo as the
-            # safety net (round-4 long-genome finding: covering a 50k
-            # spread made wide bands as expensive as full width).
+            # unprofitable); stability verification below escalates it to
+            # full-width if even that is not band-stable (round-4
+            # long-genome finding: covering a 50k spread made wide bands
+            # as expensive as full width).
             bb = band
-            cap = max(4 * band, 8 * len(c))
+            cap = max(8 * band, 8 * len(c))
             while (bb < spread_half + band // 2
                    and genome_len >= 2 * (4 * bb + 1) and bb < cap):
                 bb *= 2
-            if genome_len < 2 * (2 * bb + 1):
+            if genome_len < 2 * (4 * bb + 1):
+                # the 2x verification band would cover most of the genome
                 full_items.append((c, reference_genome, 0))
                 continue
             if spread_half + band // 2 <= bb:
                 center = (int(d_lo[i]) + int(d_hi[i])) // 2
             else:
                 center = int(d0s[i])
-            banded_groups.setdefault(
-                (_bucket(len(c)), bb), []).append((c, center))
+            banded_items.append((c, center, bb, cap))
     else:
         full_items.extend((c, reference_genome, 0) for c in full_window)
 
     details: dict[str, dict] = {}
-
-    # banded batches: grouped by (query bucket, band); the genome rides
-    # along once per batch as a shared (1, m) row
     suspects: list[tuple[str, str, int]] = []
     from ..core.dispatch import use_host_metrics
 
     est_cells = sum(len(c) * len(w) for c, w, _ in full_items)
-    for (_, bb), items in banded_groups.items():
-        est_cells += sum(len(c) * (2 * bb + 1) for c, _ in items)
+    est_cells += sum(3 * len(c) * (2 * bb + 1)
+                     for c, _, bb, _ in banded_items)
     use_native = (executor == "native"
                   or (executor == "auto" and use_host_metrics(est_cells)))
-    if banded_groups and use_native:
-        # C++ banded executor (bit-identical to the device kernel,
-        # differential-tested): no shape-class padding needed, one call
-        # per band group
-        from ..core.encoding import encode
-        from ..native import graphcore
 
-        genome_codes = encode(reference_genome)
-        for (_, bb), items in banded_groups.items():
-            qs = [c for c, _ in items]
-            d0_arr = np.array([d for _, d in items], np.int32)
-            best, bi, bj, steps, ops = graphcore.local_align_banded_batch(
-                qs, genome_codes, d0_arr, bb, match_score=match_score,
-                mismatch=mismatch, indel=indel)
-            for idx, (c, d0) in enumerate(items):
-                if int(best[idx]) == 0 or _band_edge_contact(
-                        ops[idx, :steps[idx]], int(bi[idx]),
-                        int(bj[idx]), d0, bb):
+    if banded_items:
+        # band-stability escalation (VERDICT round 4, next-step #3):
+        # every banded alignment is recomputed at 2x the band and only
+        # accepted when score, endpoints, and the full traceback agree
+        # AND the wider path stays clear of its band edges; otherwise
+        # the band doubles until stable, the cap is exceeded (-> full
+        # width), or the band stops fitting the genome (-> full width).
+        # The round-4 heuristic (edge-contact only) silently accepted
+        # 7/256 divergent contigs on the 50 kb demo; agreement between
+        # two widths is a direct check of the thing actually at risk.
+        def run(batch):
+            if use_native:
+                return _banded_exec_native(batch, reference_genome,
+                                           match_score, mismatch, indel)
+            return _banded_exec_device(batch, reference_genome,
+                                       match_score, mismatch, indel,
+                                       max_batch)
+
+        pending = banded_items
+        results = run([(c, d0, bb) for c, d0, bb, _ in pending])
+        while pending:
+            grown: list[tuple[str, int, int, int]] = []
+            grown_prev: list[tuple] = []
+            verify: list[tuple[str, int, int, int]] = []
+            verify_prev: list[tuple] = []
+            for (c, d0, bb, cap), res in zip(pending, results):
+                nb = 2 * bb
+                if res[0] == 0 or nb > cap \
+                        or genome_len < 2 * (2 * nb + 1):
                     suspects.append((c, reference_genome, 0))
                     continue
-                ar, aq, start = replay_ops_host(
-                    ops[idx, :steps[idx]], bi[idx], bj[idx], c,
-                    reference_genome)
-                details[c] = _details_entry(
-                    ar, aq, int(best[idx]), start, int(bj[idx]))
-    elif banded_groups:
-        from ..ops.smith_waterman import local_align_batch_banded
-
-        m_pad = _pad128(genome_len)
-        r_mat, _ = encode_batch([reference_genome], width=m_pad)
-        for (n_pad, bb), items in banded_groups.items():
-            for lo in range(0, len(items), max_batch):
-                batch = items[lo:lo + max_batch]
-                b_pad = 8
-                while b_pad < len(batch):
-                    b_pad *= 2
-                fill = b_pad - len(batch)
-                qs = [c for c, _ in batch] + [""] * fill
-                d0_arr = np.array([d for _, d in batch] + [0] * fill,
-                                  np.int32)
-                q_mat, q_len = encode_batch(qs, width=n_pad)
-                r_len = np.full((b_pad,), genome_len, np.int32)
-                best, bi, bj, ops, _ = local_align_batch_banded(
-                    jnp.asarray(q_mat), jnp.asarray(q_len),
-                    jnp.asarray(r_mat), jnp.asarray(r_len),
-                    jnp.asarray(d0_arr), bb, match_score=match_score,
-                    mismatch=mismatch, indel=indel)
-                best = np.asarray(best)
-                bi = np.asarray(bi)
-                bj = np.asarray(bj)
-                ops = np.asarray(ops)
-                for idx, (c, d0) in enumerate(batch):
-                    if int(best[idx]) == 0 or _band_edge_contact(
-                            ops[:, idx], int(bi[idx]), int(bj[idx]),
-                            d0, bb):
-                        suspects.append((c, reference_genome, 0))
-                        continue
+                verify.append((c, d0, nb, cap))
+                verify_prev.append(res)
+            if not verify:
+                break
+            wide = run([(c, d0, nb) for c, d0, nb, _ in verify])
+            for (c, d0, nb, cap), prev, res in zip(verify, verify_prev,
+                                                   wide):
+                stable = (res[0] == prev[0] and res[1] == prev[1]
+                          and res[2] == prev[2]
+                          and np.array_equal(res[3], prev[3]))
+                if stable and not _band_edge_contact(res[3], res[1],
+                                                     res[2], d0, nb):
                     ar, aq, start = replay_ops_host(
-                        ops[:, idx], bi[idx], bj[idx], c, reference_genome)
-                    details[c] = _details_entry(
-                        ar, aq, int(best[idx]), start, int(bj[idx]))
+                        res[3], res[1], res[2], c, reference_genome)
+                    details[c] = _details_entry(ar, aq, res[0], start,
+                                                res[2])
+                else:
+                    grown.append((c, d0, nb, cap))
+                    grown_prev.append(res)
+            pending = grown
+            results = grown_prev
 
     fw_items = full_items + suspects
     if use_native and fw_items:

@@ -20,7 +20,8 @@ def assemble_contigs_using_overlap_graphs(reads: list[str], k: int = 5,
                                           device: bool = True,
                                           use_native: bool = True,
                                           verbose: bool = False,
-                                          exact_parity: bool = True) -> list[str]:
+                                          exact_parity: bool = True,
+                                          consensus: bool = False) -> list[str]:
     """Assemble contigs from reads.
 
     Args:
@@ -33,9 +34,16 @@ def assemble_contigs_using_overlap_graphs(reads: list[str], k: int = 5,
         exact_parity: True (default) reproduces the reference layout
             bit-for-bit (greedy weakest-edge cycle removal -> topo ->
             walk); False switches to the fast greedy best-overlap
-            chaining layout (graph/greedy.py) — one O(E log E) sort +
+            chaining layout (graph/greedy.py) — guarded chaining +
+            redundancy suppression + consensus, one O(E log E) sort +
             linear accept pass instead of the sequential cycle loop,
             different (documented) contig semantics.
+        consensus: polish the exact-parity walk's contigs by majority
+            vote over their read pileup (graph/consensus.py). OFF by
+            default: the polished sequences are corrected, i.e. NOT
+            bit-identical to the reference's (VERDICT round 4,
+            next-step #10). The fast layout has its own consensus
+            default (on).
 
     Every stage feeds the global tracer (utils/tracing.py); print a table
     with `genome_assembly_tpu.utils.tracing.global_tracer().report()` or
@@ -64,4 +72,13 @@ def assemble_contigs_using_overlap_graphs(reads: list[str], k: int = 5,
         topo_nodes = topological_order(g)
     log("Creating contigs...")
     with stage("graph.walk_contigs"):
-        return walk_contigs(g, topo_nodes)
+        if not consensus:
+            return walk_contigs(g, topo_nodes)
+        contigs, (pr, po, pc) = walk_contigs(g, topo_nodes,
+                                             with_placements=True)
+    log("Consensus polish...")
+    with stage("graph.consensus"):
+        from ..graph.consensus import polish_contigs
+
+        return polish_contigs(contigs, g.unique_reads, pr, po, pc,
+                              place_weight=g.counts[pr].astype("int64"))

@@ -5,8 +5,8 @@ from .mesh import (
     make_mesh_hosts_chips,
 )
 from .pipeline import (
-    pipelined_score_filter,
-    score_filter_unpipelined,
+    candidates_score_unpipelined,
+    pipelined_candidates_score,
 )
 from .seqpar import (
     local_align_batch_seqpar,
@@ -28,8 +28,8 @@ __all__ = [
     "make_mesh",
     "make_mesh_2d",
     "make_mesh_hosts_chips",
-    "pipelined_score_filter",
-    "score_filter_unpipelined",
+    "candidates_score_unpipelined",
+    "pipelined_candidates_score",
     "local_align_batch_seqpar",
     "traceback_host_seqpar",
     "all_pairs_block_scores",

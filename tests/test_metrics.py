@@ -1,6 +1,7 @@
 """Metrics parity tests against a loop-level reference replica built on the
 oracle aligner (performanceMeasures.py semantics)."""
 
+import os
 import random
 
 import numpy as np
@@ -274,3 +275,74 @@ def test_banded_native_executor_matches_xla():
     d_xla = align_contigs_to_reference(contigs, genome, 100,
                                        banded=True, executor="xla")
     assert d_native == d_xla
+
+
+def test_banded_stability_verified_matches_full_width():
+    """Band-stability escalation (VERDICT round 4, next-step #3): the
+    banded pass must return the SAME details dict as the full-width
+    kernel on adversarial contigs — chimeras, indel-heavy contigs, and
+    repeat-bridging contigs that the round-4 edge-contact heuristic
+    could silently mis-band."""
+    r = random.Random(77)
+    # genome with an exact long repeat so distant diagonals carry
+    # identical high-scoring content (the band-bridging trap)
+    core = random_dna(r, 900)
+    genome = core + random_dna(r, 200) + core[:400] + random_dna(r, 500)
+    contigs = []
+    for _ in range(40):
+        i = r.randrange(len(genome) - 320)
+        q = list(genome[i:i + r.randint(110, 300)])
+        for _ in range(r.randint(0, 30)):
+            t = r.randrange(len(q))
+            op = r.random()
+            if op < 0.6:
+                q[t] = r.choice("ACGT".replace(q[t], ""))
+            elif op < 0.8:
+                q.insert(t, r.choice("ACGT"))
+            elif len(q) > 2:
+                q.pop(t)
+        contigs.append("".join(q))
+    contigs.append(genome[100:250] + genome[1400:1600])    # chimera
+    contigs.append(genome[850:1000] + genome[950:1100])    # repeat join
+    contigs += [random_dna(r, 160), genome[-35:]]
+    d_banded = align_contigs_to_reference(contigs, genome, 100,
+                                          banded=True)
+    d_full = align_contigs_to_reference(contigs, genome, 100,
+                                        banded=False)
+    assert d_banded == d_full
+
+
+def test_banded_auto_threshold():
+    """banded="auto" must stay full-width below GA_TPU_BANDED_AUTO_MIN
+    (reference-scale genomes -> exact results) and switch to verified
+    banding above it (advisor round-4 medium finding: "auto" used to be
+    a no-op)."""
+    import genome_assembly_tpu.metrics.align_to_ref as mod
+
+    r = random.Random(5)
+    genome = random_dna(r, 3000)
+    contigs = [genome[100:400], genome[1200:1500]]
+    calls = []
+    orig = mod.seed_diagonals_batch if hasattr(mod, "seed_diagonals_batch") \
+        else None
+    from genome_assembly_tpu.ops import smith_waterman as sw
+
+    real = sw.seed_diagonals_batch
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    sw.seed_diagonals_batch = spy
+    try:
+        d_below = align_contigs_to_reference(contigs, genome, 100,
+                                             banded="auto")
+        assert not calls, "auto banded below threshold must be full-width"
+        os.environ["GA_TPU_BANDED_AUTO_MIN"] = "1000"
+        d_above = align_contigs_to_reference(contigs, genome, 100,
+                                             banded="auto")
+        assert calls, "auto banded above threshold must seed bands"
+    finally:
+        os.environ.pop("GA_TPU_BANDED_AUTO_MIN", None)
+        sw.seed_diagonals_batch = real
+    assert d_below == d_above

