@@ -10,6 +10,7 @@ from .pipeline import (
 )
 from .seqpar import (
     local_align_batch_seqpar,
+    local_align_batch_seqpar_pipelined,
     traceback_host_seqpar,
 )
 from .sharded import (
@@ -31,6 +32,7 @@ __all__ = [
     "candidates_score_unpipelined",
     "pipelined_candidates_score",
     "local_align_batch_seqpar",
+    "local_align_batch_seqpar_pipelined",
     "traceback_host_seqpar",
     "all_pairs_block_scores",
     "all_pairs_block_scores_2d",

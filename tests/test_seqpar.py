@@ -80,3 +80,34 @@ def test_seqpar_traceback_matches_oracle(rng):
         oar, oaq, oscore, ostart, oend = local_align_oracle(query, genome)
         assert int(best[b]) == oscore
         assert (ar, aq, start, int(bj[b])) == (oar, oaq, ostart, oend)
+
+
+@pytest.mark.parametrize("n_dev,rows", [(1, 4), (4, 1), (4, 8), (8, 8),
+                                        (8, 16), (4, 3)])
+def test_seqpar_pipelined_matches_per_row(rng, n_dev, rows):
+    """The systolic row-block pipeline (one (2, R, B) ppermute per step,
+    carry passed hop-by-hop instead of all_gathered) must be bit-identical
+    to the per-row seq-par kernel: best/bi/bj AND the full sharded
+    traceback code tensor (VERDICT round 4, stretch #9)."""
+    from genome_assembly_tpu.parallel.seqpar import (
+        local_align_batch_seqpar_pipelined,
+    )
+
+    genome, queries = _setup(rng, n_q=10, g_len=192, q_max=37)
+    g_len = len(genome)
+    q, ql = encode_batch(queries, align="left")
+    n_pad = q.shape[1]
+    mesh = make_mesh(n_dev)
+    gp = ((g_len + n_dev - 1) // n_dev) * n_dev
+    g_pad = np.full((gp,), PAD, np.int8)
+    g_pad[:g_len] = encode(genome)
+    best0, bi0, bj0, codes0 = local_align_batch_seqpar(
+        mesh, jnp.asarray(q), jnp.asarray(ql), jnp.asarray(g_pad), g_len)
+    best, bi, bj, codes = local_align_batch_seqpar_pipelined(
+        mesh, jnp.asarray(q), jnp.asarray(ql), jnp.asarray(g_pad), g_len,
+        rows_per_exchange=rows)
+    np.testing.assert_array_equal(np.asarray(best), np.asarray(best0))
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(bi0))
+    np.testing.assert_array_equal(np.asarray(bj), np.asarray(bj0))
+    np.testing.assert_array_equal(np.asarray(codes)[:n_pad],
+                                  np.asarray(codes0))
