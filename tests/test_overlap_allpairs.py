@@ -97,3 +97,29 @@ def test_rectangular_block():
                                   interpret=True)
     np.testing.assert_array_equal(np.asarray(sp), s0)
     np.testing.assert_array_equal(np.asarray(ep), e0)
+
+
+def test_shift_chain_kernel_matches_matmul_and_xla(rng):
+    """The scratch-carried shift-chain kernel (GA_TPU_SHIFT=chain; no
+    shift matmuls) must be bit-identical to the shift-matrix kernel and
+    the XLA twin, including ragged lengths and the l ~ lp edge."""
+    import jax.numpy as jnp
+
+    from conftest import random_dna
+
+    from genome_assembly_tpu.core.encoding import encode_batch
+    from genome_assembly_tpu.ops.overlap_allpairs import (
+        overlap_scores_all_pairs_xla,
+        overlap_scores_block,
+    )
+
+    for n, l in ((16, 12), (24, 60), (8, 127)):
+        reads = [random_dna(rng, rng.randint(max(1, l - 6), l))
+                 for _ in range(n)]
+        codes, lens = encode_batch(reads, width=l, align="left")
+        c, ln = jnp.asarray(codes), jnp.asarray(lens)
+        s0, e0 = overlap_scores_all_pairs_xla(c, ln)
+        s2, e2 = overlap_scores_block(c, ln, c, ln, interpret=True,
+                                      shift="chain")
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(s0))
+        np.testing.assert_array_equal(np.asarray(e2), np.asarray(e0))
