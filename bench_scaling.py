@@ -195,6 +195,59 @@ def main():
             row["host_core_cap"] = round(min(1.0, cores / m), 4)
         rows.append(row)
         print(json.dumps(row))
+    # sequence-parallel SW rows (VERDICT round 4, next-step #5): the
+    # genome axis sharded over the mesh, per-row (2 collectives/DP row)
+    # vs the round-5 systolic row-block pipeline (n/R + D - 1 total)
+    if os.environ.get("SCALE_SEQPAR", "1") == "1" and n_avail >= 2:
+        import random as pyrandom
+
+        import numpy as np
+
+        from genome_assembly_tpu.core.encoding import (
+            PAD, encode, encode_batch,
+        )
+        from genome_assembly_tpu.parallel.seqpar import (
+            local_align_batch_seqpar,
+            local_align_batch_seqpar_pipelined,
+        )
+
+        r = pyrandom.Random(0)
+        G = int(os.environ.get("SCALE_SEQPAR_G", "50000"))
+        B, qn = 16, 100
+        sg = "".join(r.choice("ACGT") for _ in range(G))
+        queries = []
+        for _ in range(B):
+            s0 = r.randrange(G - qn - 1)
+            queries.append(sg[s0:s0 + qn])
+        q, ql = encode_batch(queries, align="left")
+        q, ql = jnp.asarray(q), jnp.asarray(ql)
+        m = max(s for s in sizes)
+        gp = ((G + m - 1) // m) * m
+        g_pad = np.full((gp,), PAD, np.int8)
+        g_pad[:G] = encode(sg)
+        g_d = jnp.asarray(g_pad)
+        for name, fn, coll in (
+                ("seqpar_per_row", local_align_batch_seqpar, 2 * qn),
+                ("seqpar_pipelined_R25",
+                 lambda mesh, *a, **kw: local_align_batch_seqpar_pipelined(
+                     mesh, *a, rows_per_exchange=25, **kw),
+                 -(-qn // 25) + m - 1)):
+            mesh = make_mesh(m)
+            out = fn(mesh, q, ql, g_d, G)
+            jax.block_until_ready(out)      # compile + first run
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn(mesh, q, ql, g_d, G)
+                jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / 3
+            row = {"mesh_size": m, "wrapper": name, "platform": platform,
+                   "genome_len": G, "batch": B, "query_len": qn,
+                   "collectives_total": coll,
+                   "cells_per_sec": round(B * qn * G / dt, 1),
+                   "wall_ms": round(dt * 1e3, 1)}
+            rows.append(row)
+            print(json.dumps(row))
+
     report = {"rows": rows, "mode": mode, "platform": platform,
               "devices_available": n_avail, "host_cores": cores}
     if platform == "cpu":

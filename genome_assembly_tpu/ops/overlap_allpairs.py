@@ -396,12 +396,19 @@ def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
 def overlap_scores_all_pairs(codes: jax.Array, lengths: jax.Array,
                              match_score: int = 10, mismatch: int = -1,
                              tm: int = 256, tn: int = 1024, jc: int = 10,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             shift: str | None = None):
     """Square all-pairs case of `overlap_scores_block` (same read set as
     both source and target, i == t diagonal included)."""
+    if shift is None:
+        # resolve the env knob OUTSIDE the jit boundary so flipping
+        # GA_TPU_SHIFT between calls reaches the static argument (a
+        # None default would be resolved once at trace time and cached)
+        shift = _shift_impl()
     return overlap_scores_block(
         codes, lengths, codes, lengths, match_score=match_score,
-        mismatch=mismatch, tm=tm, tn=tn, jc=jc, interpret=interpret)
+        mismatch=mismatch, tm=tm, tn=tn, jc=jc, interpret=interpret,
+        shift=shift)
 
 
 def _pallas_enabled() -> bool:

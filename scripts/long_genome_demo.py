@@ -10,15 +10,17 @@ order of magnitude larger:
   p = 0.005 substitution errors;
 - assembly in BOTH layout modes (exact-parity and fast greedy chaining)
   at k in {15, 5};
-- metrics through the diagonal-banded SW (banded=True: per-contig seeded
-  bands, O(band) rows) — the path that exists precisely for this regime —
-  with a full-width C++ cross-check on a contig sample quantifying
-  banded-vs-exact agreement.
+- metrics through the stability-verified banded SW (per-contig seeded
+  bands recomputed at 2x width until the traceback agrees — round 5,
+  VERDICT round 4 next-step #3) — the path that exists precisely for
+  this regime — AND, for every row, a full-width run over the FULL
+  contig set so the banded-vs-exact delta is quantified at the metric
+  level (coverage / mismatch / N50), not just on a detail sample.
 
-Writes LONG_GENOME.json rows with stage walls, metrics, and the
-agreement stats. CPU-backend friendly (the C++ executors carry the
-scoring and full-width checks); on TPU the same script exercises the
-device kernels.
+Writes LONG_GENOME.json rows with stage walls, metrics, the full-set
+metric deltas, and the sampled per-detail agreement. CPU-backend
+friendly (the C++ executors carry the scoring and full-width checks);
+on TPU the same script exercises the device kernels.
 
 Usage: python scripts/long_genome_demo.py [G N l]
 """
@@ -93,6 +95,28 @@ def main():
                 "mismatch_genome": round(
                     measures["Mismatch Rate Genome Level"], 4),
             }
+            # metric-level banded-vs-exact delta over the FULL contig
+            # set (VERDICT round 4, next-step #3): re-run the entire
+            # metrics pass with the full-width reference-shape DP and
+            # compare the three headline metrics
+            if os.environ.get("LONG_GENOME_FULL_DELTA", "1") == "1":
+                t0 = time.perf_counter()
+                m_full, _ = calculate_measures(
+                    contigs, reads, N, l, p, k, genome,
+                    f"long_{mode}_k{k}_fw", 1, path="/tmp/long_plots",
+                    banded=False)
+                t_fw = time.perf_counter() - t0
+                row["full_width_metrics_s"] = round(t_fw, 1)
+                row["metric_delta_banded_minus_full"] = {
+                    "coverage": round(measures["Genome Coverage"]
+                                      - m_full["Genome Coverage"], 6),
+                    "mismatch_genome": round(
+                        measures["Mismatch Rate Genome Level"]
+                        - m_full["Mismatch Rate Genome Level"], 6),
+                    "n50": measures["N50"] - m_full["N50"],
+                }
+                row["banded_speedup_metrics"] = round(
+                    t_fw / max(t_metrics, 1e-9), 1)
             # banded-vs-full-width agreement on a contig sample (the
             # full-width pass at this G is the wall banded removes; the
             # sample quantifies how often banding changed anything)
