@@ -188,6 +188,18 @@ def score_pairs(unique_reads: list[str], pairs,
         return _score_pairs_impl(unique_reads, ia, ib, chunk, device)
 
 
+def _pow2_class(n: int, lo: int = 256) -> int:
+    """Smallest power-of-two >= n (>= lo): operand shapes quantize to a
+    handful of classes so per-iteration/config jit caches HIT — unique
+    read counts and candidate counts drift every iteration, and an exact
+    shape would recompile the device kernels each time (the round-5 TPU
+    session measured 17 s/iteration of pure recompilation at N=10000)."""
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
 def _score_pairs_impl(unique_reads: list[str], ia, ib, chunk, device):
     n_pairs = len(ia)
     if n_pairs == 0:
@@ -213,13 +225,24 @@ def _score_pairs_impl(unique_reads: list[str], ia, ib, chunk, device):
 
         from ..ops.overlap_allpairs import overlap_scores_all_pairs_auto
 
-        left, lens = encode_batch(unique_reads, width=width, align="left")
+        # pad the unique axis and the gather index list to power-of-two
+        # shape classes: exact sizes drift per iteration and would
+        # recompile the all-pairs kernel + gather every run
+        u_pad = _pow2_class(u_count)
+        left, lens = encode_batch(
+            unique_reads + [""] * (u_pad - u_count), width=width,
+            align="left")
         s_mat, e_mat = overlap_scores_all_pairs_auto(
             jnp.asarray(left), jnp.asarray(lens))
+        p_pad = _pow2_class(n_pairs)
+        ia_p = np.zeros(p_pad, np.int32)
+        ib_p = np.zeros(p_pad, np.int32)
+        ia_p[:n_pairs] = ia
+        ib_p[:n_pairs] = ib
         s, e = jax.jit(lambda sm, em, a, b: (sm[a, b], em[a, b]))(
-            s_mat, e_mat, jnp.asarray(ia), jnp.asarray(ib))
-        return (np.asarray(jax.device_get(s), dtype=np.int32),
-                np.asarray(jax.device_get(e), dtype=np.int32))
+            s_mat, e_mat, jnp.asarray(ia_p), jnp.asarray(ib_p))
+        return (np.asarray(jax.device_get(s), dtype=np.int32)[:n_pairs],
+                np.asarray(jax.device_get(e), dtype=np.int32)[:n_pairs])
     if device:
         import functools
 
@@ -228,8 +251,12 @@ def _score_pairs_impl(unique_reads: list[str], ia, ib, chunk, device):
 
         from ..ops.overlap import overlap_scores
 
-        left, lens = encode_batch(unique_reads, width=width, align="left")
-        right, _ = encode_batch(unique_reads, width=width, align="right")
+        # unique-axis shape class (see _pow2_class): index rows beyond
+        # u_count are empty reads, never selected by real pair indices
+        u_pad = _pow2_class(u_count)
+        padded = unique_reads + [""] * (u_pad - u_count)
+        left, lens = encode_batch(padded, width=width, align="left")
+        right, _ = encode_batch(padded, width=width, align="right")
         # read tensors go to the device ONCE; per chunk we ship only the
         # pair-index arrays (8 bytes/pair vs ~2*width operand bytes) and
         # gather on device — essential when the TPU sits behind a
@@ -261,9 +288,12 @@ def _score_pairs_impl(unique_reads: list[str], ia, ib, chunk, device):
 
         # + chunk of slack: the final chunk's shape-class padding writes
         # garbage rows past n_pairs; slack keeps them off the real data
-        # (and away from dynamic_update_slice's start-index clamping)
-        buf_s = jnp.zeros(n_pairs + chunk, jnp.int32)
-        buf_e = jnp.zeros(n_pairs + chunk, jnp.int32)
+        # (and away from dynamic_update_slice's start-index clamping).
+        # The buffer length itself quantizes to a power-of-two number of
+        # chunks so chunk_into's jit cache survives drifting pair counts
+        buf_len = chunk * _pow2_class(-(-(n_pairs + chunk) // chunk), 1)
+        buf_s = jnp.zeros(buf_len, jnp.int32)
+        buf_e = jnp.zeros(buf_len, jnp.int32)
         for lo in range(0, n_pairs, chunk):
             hi = min(lo + chunk, n_pairs)
             n = hi - lo

@@ -72,6 +72,17 @@ def kmer_join_keys(left: jax.Array, lens: jax.Array, k: int):
 
 
 @jax.jit
+def _mask_pad_keys(pref: jax.Array, suf: jax.Array, u_count: jax.Array):
+    """Overwrite padding rows (index >= u_count) with unique negative
+    keys on disjoint ranges (even for prefixes, odd for suffixes) so
+    padded shape-class rows can never join anything."""
+    idx = jnp.arange(pref.shape[0], dtype=jnp.int32)
+    is_pad = idx >= u_count
+    return (jnp.where(is_pad, -2 - 2 * idx, pref),
+            jnp.where(is_pad, -1 - 2 * idx, suf))
+
+
+@jax.jit
 def _join_index(pref: jax.Array, suf: jax.Array):
     """Sorted-join bookkeeping: (order, lo, hi) with order a stable argsort
     of prefix keys and [lo[u], hi[u]) the match range for read u's suffix."""
@@ -118,15 +129,28 @@ def candidate_pairs_device(unique_reads: list[str], k: int):
     if u_count == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     width = max(len(r) for r in unique_reads)
-    left, lens = encode_batch(unique_reads, width=width, align="left")
+    # power-of-two unique-axis class: unique counts drift per iteration
+    # and exact shapes would recompile the join kernels every run
+    u_pad = 256
+    while u_pad < u_count:
+        u_pad *= 2
+    left, lens = encode_batch(unique_reads + [""] * (u_pad - u_count),
+                              width=width, align="left")
     pref, suf = kmer_join_keys(jnp.asarray(left), jnp.asarray(lens), k)
+    # pad rows all carry the empty-string key (terminator 4^0 = 1) and
+    # would join each other quadratically; remap them to unique values
+    # on disjoint negative ranges so they match nothing
+    pref, suf = _mask_pad_keys(pref, suf, jnp.int32(u_count))
     order, lo, hi = _join_index(pref, suf)
     cnt = np.asarray(jax.device_get(hi - lo), dtype=np.int64)
     total = int(cnt.sum())
     if total == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     assert total < 2**31, "candidate count exceeds int32 indexing"
-    cum = np.zeros(u_count + 1, dtype=np.int32)
+    # cum spans the PADDED unique axis (stable shape class for
+    # _emit_pairs); padded groups are empty so the flat cum tail never
+    # owns a p < total under searchsorted(..., "right") - 1
+    cum = np.zeros(u_pad + 1, dtype=np.int32)
     np.cumsum(cnt, out=cum[1:])
     p_pad = _shape_class(total)  # few padded shape classes → few compiles
     p = jnp.arange(p_pad, dtype=jnp.int32)

@@ -185,6 +185,64 @@ def _kernel_chain(a_ref, b_ref, acol_ref, alen_ref, blen_ref, best_ref,
         best_ref[:] = jnp.maximum(best_ref[:], comb)
 
 
+def _kernel_chainrev(a_ref, b_ref, alen_ref, blen_ref, best_ref, ash_ref,
+                     *, match_score: int, mismatch: int, jc: int,
+                     ljc: int, lp: int):
+    """Reverse-order shift-chain variant: the j grid axis is iterated
+    DESCENDING (the index map reverses block order), so the shifted
+    a-slab evolves by pure static LEFT-shifts with zero fill —
+    a_sh_{j-1}[v] = a_sh_j[v+1] — and needs NO lane-0 injection operand
+    at all (the `_kernel_chain` (jc,3,tm,1) seed operand is the prime
+    suspect for its on-chip parity failure: minor-dim-1 blocks stress
+    Mosaic relayouts). The chain seeds ONCE per (i, t) tile at
+    jstep == 0 with a static (lp - ljc)-lane shift of the a block. The
+    packed (4*score*1024 + 1023-j) running max is order-independent, so
+    descending j produces bit-identical results.
+
+    VALID ONLY FOR ljc <= lp: for j > lp the left-shift's entering top
+    lane is a[2*lp - j], a REAL value — zero fill silently corrupts
+    every subsequent state (caught by the l=127 interpret differential).
+    `overlap_scores_block` falls back to the matmul shift beyond that."""
+    jstep = pl.program_id(2)
+
+    @pl.when(jstep == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, 1023.0)
+        # seed: a_sh for j = ljc — shift left by (lp - ljc), which for
+        # ljc > lp (j-padding past the lane count) is a RIGHT shift
+        s = lp - ljc
+        if s == 0:
+            ash_ref[:] = a_ref[:]
+        elif s > 0:
+            ash_ref[:] = jnp.concatenate(
+                [a_ref[:, :, s:],
+                 jnp.zeros(a_ref.shape[:2] + (s,), a_ref.dtype)], axis=2)
+        else:
+            ash_ref[:] = jnp.concatenate(
+                [jnp.zeros(a_ref.shape[:2] + (-s,), a_ref.dtype),
+                 a_ref[:, :, :s]], axis=2)
+
+    for q in range(jc):  # static unroll, j descending
+        j = ljc - (jstep * jc + q)
+        ssum = jnp.zeros(best_ref.shape, jnp.float32)
+        for c in range(3):
+            ssum += jax.lax.dot_general(
+                ash_ref[c], b_ref[c],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (TM, TN)
+        # advance the chain for the next (smaller) j: left-shift, zero in
+        ash_ref[:] = jnp.concatenate(
+            [ash_ref[:, :, 1:],
+             jnp.zeros(ash_ref.shape[:2] + (1,), ash_ref.dtype)], axis=2)
+        d = jnp.minimum(alen_ref[:, 0:1], jnp.float32(j))
+        score4 = jnp.float32(match_score - mismatch) * ssum + \
+            jnp.float32(match_score + 3 * mismatch) * d
+        comb = score4 * 1024.0 + jnp.float32(1023 - j)
+        valid = jnp.float32(j) <= blen_ref[0:1, :]
+        comb = jnp.where(valid, comb, jnp.float32(-1.0))
+        best_ref[:] = jnp.maximum(best_ref[:], comb)
+
+
 def _simplex_encode(codes: jax.Array) -> jax.Array:
     """(N, lp) int8 codes -> (3, N, lp) bf16 tetrahedral +-1 channels.
 
@@ -309,7 +367,45 @@ def overlap_scores_block(a_codes: jax.Array, a_len: jax.Array,
 
     if shift is None:
         shift = _shift_impl()
+    if shift == "chainrev" and ljc > lp:
+        # the reverse chain's zero-fill top lane is only correct while
+        # every j <= lp (for j > lp real values re-enter at the top —
+        # injection, the thing chainrev exists to avoid); j-padding past
+        # the lane count (ljc > lp) therefore falls back to the matmul
+        # shift
+        shift = "matmul"
     grid = (mpad // tm, npad // tn, lc)
+    if shift == "chainrev":
+        comb = pl.pallas_call(
+            functools.partial(_kernel_chainrev, match_score=match_score,
+                              mismatch=mismatch, jc=jc, ljc=ljc, lp=lp),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((3, tm, lp), lambda i, t, j: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, tn, lp), lambda i, t, j: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, 1), lambda i, t, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tn), lambda i, t, j: (0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda i, t, j: (i, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mpad, npad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((3, tm, lp), jnp.bfloat16)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ljc * mpad * npad * 3 * lp,
+                bytes_accessed=(npad // tn) * 6 * mpad * lp
+                + (mpad // tm) * 6 * npad * lp + 4 * mpad * npad,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(a3, b3, a_len[:, None].astype(jnp.float32),
+          b_len[None, :].astype(jnp.float32))
+        c = comb[:na, :nb].astype(jnp.int32)
+        return c >> 12, 1023 - (c & 1023)
     if shift == "chain":
         # lane-0 seeds for the shift chain: acol[j-1, c, i, 0] =
         # a3[c, i, lp - j] (zero beyond the lane range) — a (ljc, 3,
