@@ -20,6 +20,7 @@ scoring is batched onto the device kernel in chunks.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -219,7 +220,20 @@ def _score_pairs_impl(unique_reads: list[str], ia, ib, chunk, device):
 
         left, lens = encode_batch(unique_reads, width=width, align="left")
         return graphcore.overlap_nogap_pairs(left, lens, ia, ib)
-    if device and n_pairs * 20 >= u_count * u_count:
+    from ..core.dispatch import accelerator_attached
+
+    # Dense-path rule: (a) candidate density >= 5%, or (b) an attached
+    # accelerator and U small enough that the fused all-pairs kernel
+    # sweeps ALL U^2 slots faster than the chunked pair path can move
+    # its inputs — at 1.9G pairs/s a 16384^2 sweep is ~140 ms while the
+    # chunked path through the tunnel measured 11.9 s for 43k pairs
+    # (round-5 follow-up session). Computing everything and gathering
+    # is the TPU-first answer whenever it fits.
+    dense_max_u = int(os.environ.get("GA_TPU_DENSE_MAX_U", "16384")) \
+        if device else 0
+    if device and (n_pairs * 20 >= u_count * u_count
+                   or (accelerator_attached()
+                       and u_count <= dense_max_u)):
         import jax
         import jax.numpy as jnp
 

@@ -165,15 +165,20 @@ def _kernel_chain(a_ref, b_ref, acol_ref, alen_ref, blen_ref, best_ref,
         best_ref[:] = jnp.full_like(best_ref, 1023.0)
         ash_ref[:] = jnp.zeros_like(ash_ref)
 
+    # SSA chain state: load the scratch ONCE, advance in registers
+    # across the unrolled loop, store ONCE — interleaved per-q scratch
+    # load/store (the first cut) produced ~5% wrong entries on chip
+    # (read-after-partial-write hazards in the Mosaic lowering) while
+    # passing in interpret mode.
+    ash = ash_ref[...]
     for q in range(jc):  # static unroll
         j = jstep * jc + q + 1
         # advance the shift chain: one static lane shift + seeded lane 0
-        ash_ref[:] = jnp.concatenate(
-            [acol_ref[q], ash_ref[:, :, :-1]], axis=2)
+        ash = jnp.concatenate([acol_ref[q], ash[:, :, :-1]], axis=2)
         ssum = jnp.zeros(best_ref.shape, jnp.float32)
         for c in range(3):
             ssum += jax.lax.dot_general(
-                ash_ref[c], b_ref[c],
+                ash[c], b_ref[c],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)     # (TM, TN)
         d = jnp.minimum(alen_ref[:, 0:1], jnp.float32(j))
@@ -183,6 +188,7 @@ def _kernel_chain(a_ref, b_ref, acol_ref, alen_ref, blen_ref, best_ref,
         valid = jnp.float32(j) <= blen_ref[0:1, :]
         comb = jnp.where(valid, comb, jnp.float32(-1.0))
         best_ref[:] = jnp.maximum(best_ref[:], comb)
+    ash_ref[:] = ash
 
 
 def _kernel_chainrev(a_ref, b_ref, alen_ref, blen_ref, best_ref, ash_ref,
@@ -222,18 +228,22 @@ def _kernel_chainrev(a_ref, b_ref, alen_ref, blen_ref, best_ref, ash_ref,
                 [jnp.zeros(a_ref.shape[:2] + (-s,), a_ref.dtype),
                  a_ref[:, :, :s]], axis=2)
 
+    # SSA chain state (see _kernel_chain): load once, advance in
+    # registers, store once — per-q scratch read-modify-write miscompiled
+    # on chip.
+    ash = ash_ref[...]
     for q in range(jc):  # static unroll, j descending
         j = ljc - (jstep * jc + q)
         ssum = jnp.zeros(best_ref.shape, jnp.float32)
         for c in range(3):
             ssum += jax.lax.dot_general(
-                ash_ref[c], b_ref[c],
+                ash[c], b_ref[c],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)     # (TM, TN)
         # advance the chain for the next (smaller) j: left-shift, zero in
-        ash_ref[:] = jnp.concatenate(
-            [ash_ref[:, :, 1:],
-             jnp.zeros(ash_ref.shape[:2] + (1,), ash_ref.dtype)], axis=2)
+        ash = jnp.concatenate(
+            [ash[:, :, 1:],
+             jnp.zeros(ash.shape[:2] + (1,), ash.dtype)], axis=2)
         d = jnp.minimum(alen_ref[:, 0:1], jnp.float32(j))
         score4 = jnp.float32(match_score - mismatch) * ssum + \
             jnp.float32(match_score + 3 * mismatch) * d
@@ -241,6 +251,7 @@ def _kernel_chainrev(a_ref, b_ref, alen_ref, blen_ref, best_ref, ash_ref,
         valid = jnp.float32(j) <= blen_ref[0:1, :]
         comb = jnp.where(valid, comb, jnp.float32(-1.0))
         best_ref[:] = jnp.maximum(best_ref[:], comb)
+    ash_ref[:] = ash
 
 
 def _simplex_encode(codes: jax.Array) -> jax.Array:
