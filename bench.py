@@ -151,9 +151,13 @@ def main():
                    and os.environ.get("GA_TPU_PALLAS", "1") != "0")
     mpad = -(-N // 1024) * 1024 if pallas_used else N
     npad = -(-N // 1024) * 1024 if pallas_used else N
-    # 3 simplex channels (not 4 one-hot): main contraction + shift matmul
+    # 3 simplex channels (not 4 one-hot): main contraction, plus the
+    # shift matmuls ONLY for the matmul-shift kernel (the chain/chainrev
+    # kernels advance the shifted slab with lane ops — no shift FLOPs)
+    from genome_assembly_tpu.ops.overlap_allpairs import _shift_impl
+
     flops = L * (6 * mpad * npad * lp)
-    if pallas_used:
+    if pallas_used and _shift_impl() == "matmul":
         flops += L * 6 * mpad * (npad // 1024) * lp * lp
     # USEFUL-work accounting (VERDICT round 4, weak #5): only the main
     # contraction over the LOGICAL N^2 pair grid — no padded rows/cols,

@@ -156,6 +156,24 @@ def candidate_pairs_arrays(unique_reads: list[str], k: int,
     return ia, ib
 
 
+_GATHER_PAIRS = None
+
+
+def _gather_pairs(sm, em, a, b):
+    """Gather requested (a, b) entries from the all-pairs score/end
+    matrices under ONE process-lifetime jit object: an inline
+    jax.jit(lambda ...) builds a fresh cache per call and recompiled
+    the gather every iteration (~10 s/iteration through the axon
+    tunnel, round-5 third attach)."""
+    global _GATHER_PAIRS
+    if _GATHER_PAIRS is None:
+        import jax
+
+        _GATHER_PAIRS = jax.jit(
+            lambda sm, em, a, b: (sm[a, b], em[a, b]))
+    return _GATHER_PAIRS(sm, em, a, b)
+
+
 def _pairs_to_arrays(pairs):
     """Normalize a pair spec — list[(ua, ub)] or an (ia, ib) array tuple —
     to int32 index arrays."""
@@ -253,8 +271,8 @@ def _score_pairs_impl(unique_reads: list[str], ia, ib, chunk, device):
         ib_p = np.zeros(p_pad, np.int32)
         ia_p[:n_pairs] = ia
         ib_p[:n_pairs] = ib
-        s, e = jax.jit(lambda sm, em, a, b: (sm[a, b], em[a, b]))(
-            s_mat, e_mat, jnp.asarray(ia_p), jnp.asarray(ib_p))
+        s, e = _gather_pairs(s_mat, e_mat, jnp.asarray(ia_p),
+                             jnp.asarray(ib_p))
         return (np.asarray(jax.device_get(s), dtype=np.int32)[:n_pairs],
                 np.asarray(jax.device_get(e), dtype=np.int32)[:n_pairs])
     if device:

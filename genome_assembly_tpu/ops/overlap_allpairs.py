@@ -292,12 +292,17 @@ def _shift_mats_t(lp: int, ljc: int, dtype) -> jax.Array:
 
 
 def _shift_impl() -> str:
-    """Shift mechanism for the fused kernel: "matmul" (the validated
-    (lp x lp) shift-matrix contraction) or "chain" (scratch-carried
-    static one-lane shifts — no shift FLOPs). Env GA_TPU_SHIFT."""
+    """Shift mechanism for the fused kernel (env GA_TPU_SHIFT):
+    "chainrev" (default) — descending-j zero-fill shift chain, NO shift
+    FLOPs; measured 2.15G pairs/s sustained / MFU 0.99 on v5e and
+    bit-exact on chip after the SSA rewrite (TPU_SHIFT_r5.json), with an
+    automatic matmul fallback when ljc > lp. "matmul" — the (lp x lp)
+    shift-matrix contraction (1.84G pairs/s). "chain" — ascending-j
+    chain with a lane-0 seed operand (slower on chip: 1.64G; the
+    minor-dim-1 operand costs relayouts)."""
     import os
 
-    return os.environ.get("GA_TPU_SHIFT", "matmul")
+    return os.environ.get("GA_TPU_SHIFT", "chainrev")
 
 
 @functools.partial(
