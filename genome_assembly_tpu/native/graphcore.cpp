@@ -10,11 +10,14 @@
 //
 // Exposed via a C ABI for ctypes (see graphcore.py).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#define RESTRICT __restrict__
 
 namespace {
 
@@ -736,6 +739,7 @@ int64_t gc_local_align_batch(int64_t B, int64_t q_stride, const int8_t* q,
   std::atomic<int64_t> cursor{0};
   auto worker = [&]() {
     std::vector<int64_t> prev, cur;
+    std::vector<int32_t> prev32, diag32, key32, run32, cur32;
     std::vector<uint8_t> tb;
     for (;;) {
       const int64_t p = cursor.fetch_add(1);
@@ -744,14 +748,93 @@ int64_t gc_local_align_batch(int64_t B, int64_t q_stride, const int8_t* q,
       const int64_t w = w_len[p];
       const int8_t* qp = q + p * q_stride;
       const int8_t* rp = genome + (m - w);  // window = genome suffix
+      if ((int64_t)tb.size() < (n + 1) * (w + 1)) tb.resize((n + 1) * (w + 1));
+      const int64_t stride = w + 1;
+      int64_t best = 0, bi = 0, bj = 0;
+      // int32-range guard for the vectorized row: every intermediate
+      // (dp <= hi*(n+w), key = c0 - indel*j) must fit comfortably
+      const int64_t hi =
+          std::max(std::max(match, -mismatch), -indel) + 1;
+      const bool fast = hi * (n + w + 2) + (-indel) * (w + 2) < (1 << 30);
+      if (fast) {
+        // Vectorizable 3-pass row (bit-identical values and codes to
+        // the scalar cascade — the cascade's value IS
+        // max(diag, up, left, 0), and the left chain
+        // dp[j] = max(c0[j], dp[j-1] + indel) is a max-plus prefix
+        // scan: dp[j] = cummax(c0[j'] - indel*j')[j] + indel*j, the
+        // same trick the TPU row-scan kernel uses
+        // (ops/smith_waterman.py). Passes 1 and 3 are branchless
+        // element-wise loops over j (auto-vectorized, int32 lanes);
+        // only the trivial cummax in pass 2 is serial.
+        if ((int64_t)prev32.size() < w + 1) {
+          prev32.resize(w + 1);
+          diag32.resize(w + 1);
+          key32.resize(w + 1);
+          run32.resize(w + 1);
+          cur32.resize(w + 1);
+        }
+        const int32_t ma = (int32_t)match, mi = (int32_t)mismatch,
+                      in = (int32_t)indel;
+        std::fill(prev32.begin(), prev32.begin() + w + 1, 0);
+        for (int64_t i = 1; i <= n; ++i) {
+          const int8_t qi = qp[i - 1];
+          uint8_t* tbrow = &tb[i * stride];
+          int32_t* RESTRICT pv = prev32.data();
+          int32_t* RESTRICT dg = diag32.data();
+          int32_t* RESTRICT ky = key32.data();
+          int32_t* RESTRICT rn = run32.data();
+          int32_t* RESTRICT cu = cur32.data();
+          // pass 1: diag, c0 = max(diag, up, 0), carry key
+          for (int64_t j = 1; j <= w; ++j) {
+            const int32_t d = pv[j - 1] + (qi == rp[j - 1] ? ma : mi);
+            const int32_t u = pv[j] + in;
+            int32_t c0 = d > u ? d : u;
+            c0 = c0 > 0 ? c0 : 0;
+            dg[j] = d;
+            ky[j] = c0 - in * (int32_t)j;
+          }
+          // pass 2: prefix max (dp[0] = 0 contributes key 0)
+          int32_t running = 0;
+          for (int64_t j = 1; j <= w; ++j) {
+            running = ky[j] > running ? ky[j] : running;
+            rn[j] = running;
+          }
+          // pass 3: dp values + traceback codes (cascade priorities on
+          // the final neighbor values)
+          cu[0] = 0;
+          for (int64_t j = 1; j <= w; ++j) {
+            const int32_t dp = rn[j] + in * (int32_t)j;
+            const int32_t d = dg[j];
+            const int32_t u = pv[j] + in;
+            const int32_t ldp =
+                (j == 1 ? 0 : rn[j - 1] + in * (int32_t)(j - 1));
+            const int32_t l = ldp + in;
+            uint8_t code = 0;
+            if (d >= u && d >= l && d >= 0) code = 1;
+            else if (u >= l && u >= 0) code = 2;
+            else if (l >= 0) code = 3;
+            cu[j] = dp;
+            tbrow[j] = dp > 0 ? code : 0;
+          }
+          // pass 4: row max + first attaining column (strict > keeps
+          // the reference's row-major first-max semantics)
+          int32_t rowmax = 0;
+          for (int64_t j = 1; j <= w; ++j)
+            rowmax = cu[j] > rowmax ? cu[j] : rowmax;
+          if (rowmax > best) {
+            for (int64_t j = 1; j <= w; ++j) {
+              if (cu[j] == rowmax) { best = rowmax; bi = i; bj = j; break; }
+            }
+          }
+          std::swap(prev32, cur32);
+        }
+        goto traceback;
+      }
       if ((int64_t)prev.size() < w + 1) {
         prev.resize(w + 1);
         cur.resize(w + 1);
       }
-      if ((int64_t)tb.size() < (n + 1) * (w + 1)) tb.resize((n + 1) * (w + 1));
-      const int64_t stride = w + 1;
       std::fill(prev.begin(), prev.begin() + w + 1, 0);
-      int64_t best = 0, bi = 0, bj = 0;
       for (int64_t i = 1; i <= n; ++i) {
         cur[0] = 0;
         const int8_t qi = qp[i - 1];
@@ -772,6 +855,7 @@ int64_t gc_local_align_batch(int64_t B, int64_t q_stride, const int8_t* q,
         }
         std::swap(prev, cur);
       }
+    traceback:
       out_score[p] = (int32_t)best;
       out_bi[p] = (int32_t)bi;
       out_bj[p] = (int32_t)bj;

@@ -104,3 +104,49 @@ def test_native_fallback_warns(monkeypatch):
         cycles_mod.remove_cycles(g, use_native=True)
     assert any("falling back to pure-Python" in str(w.message)
                for w in caught)
+
+
+def test_vectorized_batch_sw_matches_scalar_single():
+    """The prefix-scan (vectorized) batch SW row must be bit-identical to
+    the scalar cascade in gc_local_align — scores, endpoints, AND the
+    full op stream — including tie-heavy low-alphabet inputs."""
+    import random
+
+    import numpy as np
+
+    from genome_assembly_tpu.core.encoding import encode
+    from genome_assembly_tpu.native import graphcore
+
+    if not graphcore.available():
+        import pytest
+
+        pytest.skip("libgraphcore.so not built")
+    r = random.Random(123)
+    for alphabet in ("ACGT", "AC", "A"):  # low alphabets force ties
+        genome = "".join(r.choice(alphabet) for _ in range(400))
+        gc = encode(genome)
+        queries = []
+        for _ in range(25):
+            if r.random() < 0.5:
+                s0 = r.randrange(300)
+                q = list(genome[s0:s0 + r.randint(5, 80)])
+                for _ in range(r.randint(0, 6)):
+                    t = r.randrange(len(q))
+                    q[t] = r.choice("ACGT")
+                queries.append("".join(q))
+            else:
+                queries.append("".join(r.choice("ACGT")
+                               for _ in range(r.randint(3, 60))))
+        w_len = np.full(len(queries), len(genome), np.int32)
+        score, bi, bj, steps, ops = \
+            graphcore.local_align_batch_suffix_windows(queries, gc, w_len)
+        for i, q in enumerate(queries):
+            ar, aq, s_ref, start, end = graphcore.local_align(q, genome)
+            assert int(score[i]) == s_ref, (alphabet, i)
+            assert int(bj[i]) == end, (alphabet, i)
+            from genome_assembly_tpu.ops.smith_waterman import \
+                replay_ops_host
+
+            ar2, aq2, start2 = replay_ops_host(
+                ops[i, :steps[i]], int(bi[i]), int(bj[i]), q, genome)
+            assert (ar2, aq2, start2) == (ar, aq, start), (alphabet, i)
