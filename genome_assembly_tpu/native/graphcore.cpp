@@ -572,6 +572,7 @@ int64_t gc_local_align_banded_batch(
   std::atomic<int64_t> cursor{0};
   auto worker = [&]() {
     std::vector<int64_t> prev, cur;
+    std::vector<int32_t> prev32, diag32, key32, run32, cur32;
     std::vector<uint8_t> tb;
     for (;;) {
       const int64_t p = cursor.fetch_add(1);
@@ -579,53 +580,151 @@ int64_t gc_local_align_banded_batch(
       const int64_t n = q_len[p];
       const int8_t* qp = q + p * q_stride;
       const int64_t c0 = d0[p];
+      if ((int64_t)tb.size() < (n + 1) * wb) tb.resize((n + 1) * wb);
+      int64_t best = 0, bi = 0, bt = 0;
+      // band coordinates: t in [0, wb), global j = c0 - band + i + t;
+      // moves: diag (i-1, t), up (i-1, t+1), left (i, t-1). Out-of-
+      // genome slots (j < 1 or j > m) are neg-inf walls; within a row
+      // they form a contiguous PREFIX and/or SUFFIX (j = jlo + t is
+      // monotone in t), so the valid interior is one interval and the
+      // left-chain max-plus prefix scan over it is exact (it never has
+      // to bridge an interior wall).
+      const int64_t hi_g =
+          std::max(std::max(match, -mismatch), -indel) + 1;
+      const bool fast = hi_g * (n + wb + 2) + (-indel) * (wb + 2) < (1 << 29);
+      if (fast) {
+        // vectorizable 3-pass row in band coordinates (bit-identical to
+        // the scalar cascade below; see gc_local_align_batch)
+        const int32_t NEG32 = INT32_MIN / 4;
+        const int32_t ma = (int32_t)match, mi = (int32_t)mismatch,
+                      in = (int32_t)indel;
+        if ((int64_t)prev32.size() < wb + 2) {
+          prev32.resize(wb + 2);
+          diag32.resize(wb + 2);
+          key32.resize(wb + 2);
+          run32.resize(wb + 2);
+          cur32.resize(wb + 2);
+        }
+        for (int64_t t = 0; t < wb + 2; ++t) prev32[t] = NEG32;
+        for (int64_t i = 1; i <= n; ++i) {
+          const int8_t qi = qp[i - 1];
+          const int64_t jlo = c0 - band + i;
+          uint8_t* tbrow = &tb[i * wb];
+          const int64_t t0 = std::max<int64_t>(0, 1 - jlo);
+          const int64_t t1 = std::min<int64_t>(wb - 1, m - jlo);
+          int32_t* RESTRICT pv = prev32.data();
+          int32_t* RESTRICT dg = diag32.data();
+          int32_t* RESTRICT ky = key32.data();
+          int32_t* RESTRICT rn = run32.data();
+          int32_t* RESTRICT cu = cur32.data();
+          cu[0] = NEG32;
+          cu[wb + 1] = NEG32;
+          for (int64_t t = 0; t < t0; ++t) {
+            cu[t + 1] = NEG32;
+            tbrow[t] = 0;
+          }
+          for (int64_t t = t1 + 1; t < wb; ++t) {
+            cu[t + 1] = NEG32;
+            tbrow[t] = 0;
+          }
+          const int8_t* RESTRICT gj = genome + jlo - 1;  // genome[j-1] at t
+          // pass 1: diag (NEGI diag source maps to 0 — device parity),
+          // c0 = max(diag, up, 0), max-plus key
+          for (int64_t t = t0; t <= t1; ++t) {
+            const int32_t pd = pv[t + 1];
+            const int32_t d =
+                (pd == NEG32 ? 0 : pd) + (qi == gj[t] ? ma : mi);
+            const int32_t u = pv[t + 2] + in;  // NEG32-ish stays huge-neg
+            int32_t cc = d > u ? d : u;
+            cc = cc > 0 ? cc : 0;
+            dg[t] = d;
+            ky[t] = cc - in * (int32_t)t;
+          }
+          // pass 2: prefix max; the wall left of t0 contributes nothing
+          int32_t running = NEG32 / 2;
+          for (int64_t t = t0; t <= t1; ++t) {
+            running = ky[t] > running ? ky[t] : running;
+            rn[t] = running;
+          }
+          // pass 3: dp + cascade codes
+          for (int64_t t = t0; t <= t1; ++t) {
+            const int32_t dp = rn[t] + in * (int32_t)t;
+            const int32_t d = dg[t];
+            const int32_t u = pv[t + 2] + in;
+            const int32_t ldp =
+                (t == t0 ? NEG32 : rn[t - 1] + in * (int32_t)(t - 1));
+            const int32_t l = ldp + in;
+            uint8_t code = 0;
+            if (d >= u && d >= l && d >= 0) code = 1;
+            else if (u >= l && u >= 0) code = 2;
+            else if (l >= 0) code = 3;
+            cu[t + 1] = dp;
+            tbrow[t] = dp > 0 ? code : 0;
+          }
+          // pass 4: row max + first attaining slot
+          int32_t rowmax = 0;
+          for (int64_t t = t0; t <= t1; ++t)
+            rowmax = cu[t + 1] > rowmax ? cu[t + 1] : rowmax;
+          if (rowmax > best) {
+            for (int64_t t = t0; t <= t1; ++t) {
+              if (cu[t + 1] == rowmax) {
+                best = rowmax; bi = i; bt = t;
+                break;
+              }
+            }
+          }
+          std::swap(prev32, cur32);
+        }
+        goto banded_traceback;
+      }
       if ((int64_t)prev.size() < wb + 2) {
         prev.resize(wb + 2);
         cur.resize(wb + 2);
       }
-      if ((int64_t)tb.size() < (n + 1) * wb) tb.resize((n + 1) * wb);
-      // band coordinates: t in [0, wb), global j = c0 - band + i + t.
-      // prev[t+1] holds dp[i-1] at band slot t (1-based padding gives
-      // free neg-inf walls); moves: diag (i-1, t), up (i-1, t+1),
-      // left (i, t-1).
-      const int64_t NEGI = INT64_MIN / 4;
-      for (int64_t t = 0; t < wb + 2; ++t) prev[t] = NEGI;
-      int64_t best = 0, bi = 0, bt = 0;
-      for (int64_t i = 1; i <= n; ++i) {
-        const int8_t qi = qp[i - 1];
-        const int64_t jlo = c0 - band + i;     // global j at t = 0
-        uint8_t* tbrow = &tb[i * wb];
-        cur[0] = NEGI;
-        cur[wb + 1] = NEGI;
-        for (int64_t t = 0; t < wb; ++t) {
-          const int64_t j = jlo + t;
-          if (j < 1 || j > m) {               // outside the genome
-            cur[t + 1] = NEGI;
-            tbrow[t] = 0;
-            continue;
+      {
+        const int64_t NEGI = INT64_MIN / 4;
+        for (int64_t t = 0; t < wb + 2; ++t) prev[t] = NEGI;
+        for (int64_t i = 1; i <= n; ++i) {
+          const int8_t qi = qp[i - 1];
+          const int64_t jlo = c0 - band + i;     // global j at t = 0
+          uint8_t* tbrow = &tb[i * wb];
+          cur[0] = NEGI;
+          cur[wb + 1] = NEGI;
+          for (int64_t t = 0; t < wb; ++t) {
+            const int64_t j = jlo + t;
+            if (j < 1 || j > m) {               // outside the genome
+              cur[t + 1] = NEGI;
+              tbrow[t] = 0;
+              continue;
+            }
+            // in-band predecessors; NEGI marks both the band walls and
+            // out-of-genome slots. The device kernel stores 0 at
+            // out-of-genome slots and lets the local-alignment 0 clamp
+            // absorb them; mapping NEGI -> 0 for the diag move
+            // reproduces that exactly, and gap moves from NEGI sources
+            // can never win the >= 0 cascade either way
+            // (selection-equivalent).
+            const int64_t pd = prev[t + 1];
+            const int64_t diag = (pd == NEGI ? 0 : pd)
+                + (qi == genome[j - 1] ? match : mismatch);
+            const int64_t up =
+                (prev[t + 2] == NEGI ? NEGI : prev[t + 2] + indel);
+            const int64_t left =
+                (cur[t] == NEGI ? NEGI : cur[t] + indel);
+            int64_t v = 0;
+            uint8_t code = 0;
+            if (diag >= up && diag >= left && diag >= 0) {
+              v = diag; code = 1;
+            } else if (up >= left && up >= 0) { v = up; code = 2; }
+            else if (left >= 0) { v = left; code = 3; }
+            cur[t + 1] = v;
+            tbrow[t] = v > 0 ? code : 0;
+            if (v > best) { best = v; bi = i; bt = t; }
           }
-          // in-band predecessors; NEGI marks both the band walls and
-          // out-of-genome slots. The device kernel stores 0 at
-          // out-of-genome slots and lets the local-alignment 0 clamp
-          // absorb them; mapping NEGI -> 0 for the diag move reproduces
-          // that exactly, and gap moves from NEGI sources can never win
-          // the >= 0 cascade either way (selection-equivalent).
-          const int64_t pd = prev[t + 1];
-          const int64_t diag =
-              (pd == NEGI ? 0 : pd) + (qi == genome[j - 1] ? match : mismatch);
-          const int64_t up = (prev[t + 2] == NEGI ? NEGI : prev[t + 2] + indel);
-          const int64_t left = (cur[t] == NEGI ? NEGI : cur[t] + indel);
-          int64_t v = 0;
-          uint8_t code = 0;
-          if (diag >= up && diag >= left && diag >= 0) { v = diag; code = 1; }
-          else if (up >= left && up >= 0) { v = up; code = 2; }
-          else if (left >= 0) { v = left; code = 3; }
-          cur[t + 1] = v;
-          tbrow[t] = v > 0 ? code : 0;
-          if (v > best) { best = v; bi = i; bt = t; }
+          std::swap(prev, cur);
         }
-        std::swap(prev, cur);
       }
+    banded_traceback:
       if (best <= 0) {
         out_score[p] = 0;
         out_bi[p] = 0;

@@ -150,3 +150,42 @@ def test_vectorized_batch_sw_matches_scalar_single():
             ar2, aq2, start2 = replay_ops_host(
                 ops[i, :steps[i]], int(bi[i]), int(bj[i]), q, genome)
             assert (ar2, aq2, start2) == (ar, aq, start), (alphabet, i)
+
+
+def test_vectorized_banded_sw_matches_device_low_alphabet():
+    """Tie-heavy low-alphabet banded stress: the vectorized banded row
+    must stay byte-identical to the XLA banded kernel through the full
+    details dict (codes, endpoints, fallback routing)."""
+    import random
+
+    from genome_assembly_tpu.metrics.align_to_ref import (
+        align_contigs_to_reference,
+    )
+    from genome_assembly_tpu.native import graphcore
+
+    if not graphcore.available():
+        import pytest
+
+        pytest.skip("libgraphcore.so not built")
+    r = random.Random(9)
+    for alphabet in ("ACGT", "AC"):
+        genome = "".join(r.choice(alphabet) for _ in range(1500))
+        contigs = []
+        for _ in range(30):
+            i = r.randrange(len(genome) - 260)
+            q = list(genome[i:i + r.randint(110, 250)])
+            for _ in range(r.randint(0, 20)):
+                t = r.randrange(len(q))
+                op = r.random()
+                if op < 0.6:
+                    q[t] = r.choice("ACGT".replace(q[t], ""))
+                elif op < 0.8:
+                    q.insert(t, r.choice("ACGT"))
+                elif len(q) > 2:
+                    q.pop(t)
+            contigs.append("".join(q))
+        d_native = align_contigs_to_reference(
+            contigs, genome, 100, banded=True, executor="native")
+        d_xla = align_contigs_to_reference(
+            contigs, genome, 100, banded=True, executor="xla")
+        assert d_native == d_xla, alphabet
