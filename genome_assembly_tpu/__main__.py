@@ -80,6 +80,19 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: first TPU compiles cost seconds per
+    # kernel family; across CLI invocations they should be paid once
+    # per machine (GA_TPU_CACHE_DIR=off disables)
+    cache_dir = os.environ.get("GA_TPU_CACHE_DIR", "/tmp/ga_tpu_jax_cache")
+    if cache_dir != "off":
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     parser = argparse.ArgumentParser(
         prog="genome_assembly_tpu",
         description="TPU-native OLC genome-assembly framework")

@@ -139,3 +139,27 @@ def test_builder_with_device_candidates_matches_host(rng):
     np.testing.assert_array_equal(g_dev.dst, g_host.dst)
     np.testing.assert_array_equal(g_dev.weight, g_host.weight)
     np.testing.assert_array_equal(g_dev.end_pos, g_host.end_pos)
+
+
+def test_dense_route_matches_native_scorer(rng, monkeypatch):
+    """The accelerator dense route (score ALL U^2 pairs on the all-pairs
+    kernel, gather requested entries) must be bit-identical to the
+    chunked/native scorers on the same sparse candidate set."""
+    from genome_assembly_tpu.core import dispatch
+    from genome_assembly_tpu.graph import build as build_mod
+
+    reads = [random_dna(rng, rng.randint(15, 30)) for _ in range(60)]
+    unique, _ = dedup_reads(reads)
+    ia, ib = candidate_pairs_arrays(unique, 3)
+    if len(ia) == 0:
+        ia, ib = candidate_pairs_arrays(unique, 1)
+    # baseline: host/oracle-free chunked XLA path (no native, no accel)
+    monkeypatch.setattr(dispatch, "accelerator_attached", lambda: False)
+    monkeypatch.setattr(dispatch, "_native_available", lambda: False)
+    s0, e0 = build_mod.score_pairs(unique, (ia, ib))
+    # force the dense route: pretend an accelerator is attached (the
+    # all-pairs kernel runs its XLA twin on CPU — same results)
+    monkeypatch.setattr(dispatch, "accelerator_attached", lambda: True)
+    s1, e1 = build_mod.score_pairs(unique, (ia, ib))
+    np.testing.assert_array_equal(s1, s0)
+    np.testing.assert_array_equal(e1, e0)
