@@ -21,6 +21,27 @@
 
 namespace {
 
+// Inclusive running max: rn[j] = max(init, max(ky[lo..j])) for j in
+// [lo, hi] — the one serial dependency of the prefix-scan SW rows.
+// An AVX-512 in-register log-step scan (4 alignr+max per 16 lanes,
+// reduce-max carry) was tried and MEASURED SLOWER (1.08 vs 1.35
+// Gcells/s end-to-end on this host): the cross-iteration carry's
+// broadcast->reduce latency chain is longer than 16 pipelined scalar
+// cmov/max ops, and 512-bit shuffles pay their own toll. Scalar wins.
+inline void prefix_max_i32(const int32_t* RESTRICT ky,
+                           int32_t* RESTRICT rn, int64_t lo, int64_t hi,
+                           int32_t init) {
+  int32_t running = init;
+  for (int64_t j = lo; j <= hi; ++j) {
+    running = ky[j] > running ? ky[j] : running;
+    rn[j] = running;
+  }
+}
+
+}  // namespace
+
+namespace {
+
 struct Graph {
   int64_t num_nodes;
   int64_t num_edges;
@@ -641,11 +662,7 @@ int64_t gc_local_align_banded_batch(
             ky[t] = cc - in * (int32_t)t;
           }
           // pass 2: prefix max; the wall left of t0 contributes nothing
-          int32_t running = NEG32 / 2;
-          for (int64_t t = t0; t <= t1; ++t) {
-            running = ky[t] > running ? ky[t] : running;
-            rn[t] = running;
-          }
+          prefix_max_i32(ky, rn, t0, t1, NEG32 / 2);
           // pass 3: dp + cascade codes
           for (int64_t t = t0; t <= t1; ++t) {
             const int32_t dp = rn[t] + in * (int32_t)t;
@@ -893,14 +910,11 @@ int64_t gc_local_align_batch(int64_t B, int64_t q_stride, const int8_t* q,
             ky[j] = c0 - in * (int32_t)j;
           }
           // pass 2: prefix max (dp[0] = 0 contributes key 0)
-          int32_t running = 0;
-          for (int64_t j = 1; j <= w; ++j) {
-            running = ky[j] > running ? ky[j] : running;
-            rn[j] = running;
-          }
+          prefix_max_i32(ky, rn, 1, w, 0);
           // pass 3: dp values + traceback codes (cascade priorities on
-          // the final neighbor values)
+          // the final neighbor values) + fused row-max reduction
           cu[0] = 0;
+          int32_t rowmax = 0;
           for (int64_t j = 1; j <= w; ++j) {
             const int32_t dp = rn[j] + in * (int32_t)j;
             const int32_t d = dg[j];
@@ -914,12 +928,10 @@ int64_t gc_local_align_batch(int64_t B, int64_t q_stride, const int8_t* q,
             else if (l >= 0) code = 3;
             cu[j] = dp;
             tbrow[j] = dp > 0 ? code : 0;
+            rowmax = dp > rowmax ? dp : rowmax;
           }
-          // pass 4: row max + first attaining column (strict > keeps
-          // the reference's row-major first-max semantics)
-          int32_t rowmax = 0;
-          for (int64_t j = 1; j <= w; ++j)
-            rowmax = cu[j] > rowmax ? cu[j] : rowmax;
+          // first attaining column (strict > keeps the reference's
+          // row-major first-max semantics)
           if (rowmax > best) {
             for (int64_t j = 1; j <= w; ++j) {
               if (cu[j] == rowmax) { best = rowmax; bi = i; bj = j; break; }
